@@ -1,0 +1,725 @@
+"""On-device decoding: greedy / temperature sampling / beam search with
+whisper-compatible logit filters and scoring.
+
+Native rebuild of ``[pip:whisper] decoding.DecodingTask`` (bound to the model at
+``/root/reference/olmoasr/model.py:9,966-968`` and driven by
+``olmoasr/transcribe.py:193-233`` and ``scripts/eval/eval.py:1845-1847``).
+
+TPU-first design, instead of the reference's per-token Python loop:
+
+  * the whole autoregressive loop is ONE ``lax.scan`` with a fixed 224-step
+    bound, compiled once and kept on device; finished sequences are masked,
+    not exited early (XLA has no data-dependent early exit);
+  * logit filters (suppress-blank, suppress-tokens, timestamp rules) are
+    vectorized jnp transforms over (B, vocab) logits driven by the carried
+    token ring — no host round-trips inside the loop;
+  * beams are an extra batch dimension (B*beam) so beam search is the same
+    compiled program shape as batched greedy;
+  * temperature is a traced scalar: the 0→1.0 fallback ladder of
+    ``transcribe.py:193-233`` re-uses one compiled program.
+
+Host work per ``decode()`` call: tokenizer decode + gzip compression ratio.
+"""
+
+from __future__ import annotations
+
+import functools
+import zlib
+from dataclasses import dataclass, field, replace
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from olmoasr_tpu import audio as audio_mod
+from olmoasr_tpu.models import whisper as model_mod
+from olmoasr_tpu.models.dims import ModelDimensions
+from olmoasr_tpu.tokenizer import LANGUAGES, Tokenizer, get_tokenizer
+
+
+@dataclass(frozen=True)
+class DecodingOptions:
+    """Mirror of whisper's DecodingOptions (README.md:193-247 result schema)."""
+
+    task: str = "transcribe"
+    language: Optional[str] = None
+
+    temperature: float = 0.0
+    sample_len: Optional[int] = None  # maximum tokens to sample
+    best_of: Optional[int] = None  # number of independent samples (t > 0)
+    beam_size: Optional[int] = None  # beams (t == 0)
+    patience: Optional[float] = None  # beam patience
+
+    length_penalty: Optional[float] = None
+
+    prompt: Optional[Union[str, List[int]]] = None
+    prefix: Optional[Union[str, List[int]]] = None
+
+    suppress_tokens: Optional[Union[str, Sequence[int]]] = "-1"
+    suppress_blank: bool = True
+
+    without_timestamps: bool = False
+    max_initial_timestamp: Optional[float] = 1.0
+
+    fp16: bool = True  # interpreted as bf16 on TPU
+
+
+@dataclass(frozen=True)
+class DecodingResult:
+    audio_features: Optional[jax.Array] = None
+    language: str = "en"
+    language_probs: Optional[Dict[str, float]] = None
+    tokens: List[int] = field(default_factory=list)
+    text: str = ""
+    avg_logprob: float = np.nan
+    no_speech_prob: float = np.nan
+    temperature: float = np.nan
+    compression_ratio: float = np.nan
+
+
+def compression_ratio(text: str) -> float:
+    text_bytes = text.encode("utf-8")
+    if len(text_bytes) == 0:
+        return 0.0
+    return len(text_bytes) / len(zlib.compress(text_bytes))
+
+
+# ---------------------------------------------------------------------------
+# logit filters (vectorized; applied inside the scan step)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    """Static data for the on-device filters, precomputed host-side."""
+
+    sample_begin: int
+    eot: int
+    timestamp_begin: int
+    no_timestamps: int
+    blank_suppress: Tuple[int, ...]  # (" " ids + eot) for SuppressBlank
+    suppress: Tuple[int, ...]  # SuppressTokens list
+    apply_timestamp_rules: bool
+    max_initial_timestamp_index: Optional[int]
+    n_vocab: int
+
+    @functools.cached_property
+    def suppress_mask(self) -> np.ndarray:
+        m = np.zeros((self.n_vocab,), np.float32)
+        m[list(self.suppress)] = -np.inf
+        return m
+
+    @functools.cached_property
+    def blank_mask(self) -> np.ndarray:
+        m = np.zeros((self.n_vocab,), np.float32)
+        m[list(self.blank_suppress)] = -np.inf
+        return m
+
+
+def build_filter_config(
+    tokenizer: Tokenizer,
+    options: DecodingOptions,
+    sample_begin: int,
+    n_vocab: int,
+    n_frames_content: Optional[int] = None,
+) -> FilterConfig:
+    """Replicates DecodingTask._get_suppress_tokens + filter setup."""
+    suppress = options.suppress_tokens
+    if isinstance(suppress, str):
+        suppress = [int(t) for t in suppress.split(",")] if suppress else []
+    else:
+        suppress = list(suppress) if suppress is not None else []
+    if -1 in suppress:
+        suppress = [t for t in suppress if t >= 0]
+        suppress.extend(tokenizer.non_speech_tokens)
+    suppress.extend(
+        [tokenizer.transcribe, tokenizer.translate, tokenizer.sot,
+         tokenizer.sot_prev, tokenizer.sot_lm]
+    )
+    if tokenizer.no_speech is not None:
+        suppress.append(tokenizer.no_speech)
+    suppress = tuple(sorted(set(suppress)))
+
+    precision = 0.02
+    max_initial_timestamp_index = None
+    if options.max_initial_timestamp is not None:
+        max_initial_timestamp_index = round(options.max_initial_timestamp / precision)
+
+    blank = tuple(tokenizer.encode(" ") + [tokenizer.eot])
+
+    return FilterConfig(
+        sample_begin=sample_begin,
+        eot=tokenizer.eot,
+        timestamp_begin=tokenizer.timestamp_begin,
+        no_timestamps=tokenizer.no_timestamps,
+        blank_suppress=blank if options.suppress_blank else (),
+        suppress=suppress,
+        apply_timestamp_rules=not options.without_timestamps,
+        max_initial_timestamp_index=max_initial_timestamp_index,
+        n_vocab=n_vocab,
+    )
+
+
+def apply_filters(
+    logits: jax.Array,  # (B, V) fp32
+    tokens: jax.Array,  # (B, max_len) sampled-token ring (eot-padded)
+    step: jax.Array,  # scalar: number of tokens sampled so far
+    cfg: FilterConfig,
+) -> jax.Array:
+    """All whisper logit filters, vectorized (SuppressBlank, SuppressTokens,
+    ApplyTimestampRules — [pip:whisper] decoding.py semantics)."""
+    V = logits.shape[-1]
+    logits = logits + jnp.asarray(cfg.suppress_mask)
+
+    if cfg.blank_suppress:
+        logits = jnp.where(
+            step == 0, logits + jnp.asarray(cfg.blank_mask), logits
+        )
+
+    if not cfg.apply_timestamp_rules:
+        # timestamps entirely suppressed in without_timestamps mode via the
+        # no_timestamps token in the prompt; also mask them here for safety
+        ts_mask = (jnp.arange(V) >= cfg.timestamp_begin) | (
+            jnp.arange(V) == cfg.no_timestamps
+        )
+        return jnp.where(ts_mask[None, :], -jnp.inf, logits)
+
+    ts_begin = cfg.timestamp_begin
+    ids = jnp.arange(V)
+    is_ts = ids >= ts_begin  # (V,)
+    is_text = ids < cfg.eot
+
+    # carried-token views (positions >= step are eot padding)
+    B, L = tokens.shape
+    pos = jnp.arange(L)
+    valid = pos[None, :] < step  # (B, L) - same step for all rows
+
+    last_tok = jnp.where(step > 0, tokens[:, jnp.maximum(step - 1, 0)], -1)
+    penult_tok = jnp.where(step > 1, tokens[:, jnp.maximum(step - 2, 0)], -1)
+    last_was_ts = (step >= 1) & (last_tok >= ts_begin)
+    penult_was_ts = (step < 2) | (penult_tok >= ts_begin)
+
+    # rule 1: after ts+ts -> no timestamps; after text+ts -> no text
+    mask_ts = last_was_ts & penult_was_ts  # cannot emit 3rd consecutive ts
+    mask_text = last_was_ts & ~penult_was_ts  # must emit closing ts
+    logits = jnp.where(
+        (mask_ts[:, None] & is_ts[None, :]) | (mask_text[:, None] & is_text[None, :]),
+        -jnp.inf,
+        logits,
+    )
+    # no_timestamps token is never sampled
+    logits = logits.at[:, cfg.no_timestamps].set(-jnp.inf)
+
+    # rule 2: timestamps are monotonic. Find last timestamp sampled.
+    tok_is_ts = (tokens >= ts_begin) & valid
+    # last timestamp value per row (0 if none)
+    last_ts_val = jnp.max(
+        jnp.where(tok_is_ts, tokens, 0), axis=1
+    )  # timestamps only increase, so max == last
+    have_ts = jnp.any(tok_is_ts, axis=1)
+    # if last token was a timestamp, allow repeating it (for the t,t boundary);
+    # otherwise the next timestamp must be strictly larger
+    floor_ts = jnp.where(last_was_ts, last_ts_val, last_ts_val + 1)
+    ts_too_small = (ids[None, :] >= ts_begin) & (ids[None, :] < floor_ts[:, None])
+    logits = jnp.where(have_ts[:, None] & ts_too_small, -jnp.inf, logits)
+
+    # rule 3: at the very first sample position, force a timestamp token
+    first = step == 0
+    non_ts = ids < ts_begin
+    logits = jnp.where(first & non_ts[None, :], -jnp.inf, logits)
+    if cfg.max_initial_timestamp_index is not None:
+        last_allowed = ts_begin + cfg.max_initial_timestamp_index
+        logits = jnp.where(first & (ids > last_allowed)[None, :], -jnp.inf, logits)
+
+    # rule 4: if total timestamp probability outweighs any single text token,
+    # sample a timestamp
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_logprob = jax.nn.logsumexp(
+        jnp.where(is_ts[None, :], logprobs, -jnp.inf), axis=-1
+    )
+    max_text_logprob = jnp.max(
+        jnp.where(is_text[None, :], logprobs, -jnp.inf), axis=-1
+    )
+    force_ts = ts_logprob > max_text_logprob
+    logits = jnp.where(force_ts[:, None] & ~is_ts[None, :], -jnp.inf, logits)
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# greedy / sampling loop
+# ---------------------------------------------------------------------------
+
+
+def _greedy_loop(
+    params,
+    dims: ModelDimensions,
+    cache: model_mod.KVCache,
+    first_logits: jax.Array,  # (B, V) logits at the last prompt position
+    cfg: FilterConfig,
+    sample_len: int,
+    temperature: jax.Array,  # traced scalar
+    rng: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fixed-bound sampling loop. Returns (tokens (B, sample_len), sum_logprobs)."""
+    B = first_logits.shape[0]
+    eot = cfg.eot
+
+    def sample(logits, rng, finished):
+        logits = logits / jnp.maximum(temperature, 1e-6)
+        greedy_tok = jnp.argmax(logits, axis=-1)
+        sampled_tok = jax.random.categorical(rng, logits, axis=-1)
+        tok = jnp.where(temperature > 0, sampled_tok, greedy_tok)
+        return jnp.where(finished, eot, tok.astype(jnp.int32))
+
+    def step_fn(carry, i):
+        cache, tokens, finished, sum_logprobs, logits, rng = carry
+        rng, sub = jax.random.split(rng)
+        filt = apply_filters(logits, tokens, i, cfg)
+        tok = sample(filt, sub, finished)
+        logprobs = jax.nn.log_softmax(filt, axis=-1)
+        tok_logprob = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
+        sum_logprobs = sum_logprobs + jnp.where(finished, 0.0, tok_logprob)
+        tokens = tokens.at[:, i].set(tok)
+        finished = finished | (tok == eot)
+        next_logits, cache = model_mod.decode_step(params, dims, tok[:, None], cache)
+        return (cache, tokens, finished, sum_logprobs, next_logits[:, 0], rng), None
+
+    tokens0 = jnp.full((B, sample_len), eot, jnp.int32)
+    finished0 = jnp.zeros((B,), bool)
+    sum_logprobs0 = jnp.zeros((B,), jnp.float32)
+    (cache, tokens, finished, sum_logprobs, _, _), _ = jax.lax.scan(
+        step_fn,
+        (cache, tokens0, finished0, sum_logprobs0, first_logits, rng),
+        jnp.arange(sample_len),
+    )
+    return tokens, sum_logprobs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dims", "cfg", "sample_len", "prompt_len", "sot_index", "compute_dtype"
+    ),
+)
+def _decode_greedy_jit(
+    params,
+    dims: ModelDimensions,
+    mel: jax.Array,  # (B, n_mels, 3000)
+    prompt: jax.Array,  # (B, prompt_len)
+    cfg: FilterConfig,
+    sample_len: int,
+    prompt_len: int,
+    sot_index: int,
+    temperature: jax.Array,
+    rng: jax.Array,
+    compute_dtype=jnp.bfloat16,
+):
+    """Encoder + prefill + sampling loop, one compiled program.
+
+    Returns (tokens, sum_logprobs, probs_at_sot, audio_features).
+    """
+    audio_features = model_mod.encode_audio(
+        params, dims, mel, compute_dtype=compute_dtype
+    )
+    cache = model_mod.init_cache(
+        params, dims, audio_features, max_len=prompt_len + sample_len
+    )
+    logits_all, cache = model_mod.decode_step(params, dims, prompt, cache)
+    # no_speech prob is measured at the sot position ([pip:whisper]
+    # decoding.DecodingTask._main_loop)
+    probs_at_sot = jax.nn.softmax(
+        logits_all[:, sot_index].astype(jnp.float32), axis=-1
+    )
+    first_logits = logits_all[:, -1].astype(jnp.float32)
+    tokens, sum_logprobs = _greedy_loop(
+        params, dims, cache, first_logits, cfg, sample_len, temperature, rng
+    )
+    return tokens, sum_logprobs, probs_at_sot, audio_features
+
+
+# ---------------------------------------------------------------------------
+# beam search
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dims", "cfg", "sample_len", "prompt_len", "beam_size", "sot_index",
+        "compute_dtype",
+    ),
+)
+def _decode_beam_jit(
+    params,
+    dims: ModelDimensions,
+    mel: jax.Array,  # (B, n_mels, 3000)
+    prompt: jax.Array,  # (B, prompt_len)
+    cfg: FilterConfig,
+    sample_len: int,
+    prompt_len: int,
+    beam_size: int,
+    sot_index: int,
+    rng: jax.Array,
+    compute_dtype=jnp.bfloat16,
+):
+    """Beam search with beams as a batch dimension (B*K rows).
+
+    Whisper's BeamSearchDecoder keeps, per audio, the `beam_size` best
+    unfinished hypotheses; finished (eot) hypotheses are stored and the beam
+    slot is refilled from the next-best candidate. We replicate that with a
+    (B, K) live beam set plus a (B, K) finished set (whisper keeps up to
+    ``beam_size * patience`` finished candidates; patience handling happens in
+    the host wrapper by reading the finished set).
+
+    Returns: tokens (B, K, sample_len) finished hypotheses (eot-terminated),
+    their cumulative logprobs (B, K), no_speech probs (B,), audio_features.
+    """
+    B = mel.shape[0]
+    K = beam_size
+    V = dims.n_vocab
+    eot = cfg.eot
+
+    audio_features = model_mod.encode_audio(
+        params, dims, mel, compute_dtype=compute_dtype
+    )
+    # expand to beams: (B*K, ...)
+    af = jnp.repeat(audio_features, K, axis=0)
+    cache = model_mod.init_cache(params, dims, af, max_len=prompt_len + sample_len)
+    prompt_k = jnp.repeat(prompt, K, axis=0)
+    logits_all, cache = model_mod.decode_step(params, dims, prompt_k, cache)
+    probs_at_sot = jax.nn.softmax(
+        logits_all[::K, sot_index].astype(jnp.float32), axis=-1
+    )  # (B, V)
+    first_logits = logits_all[:, -1].astype(jnp.float32)  # (B*K, V)
+
+    NEG = jnp.float32(-1e30)
+
+    def step_fn(carry, i):
+        cache, tokens, beam_lp, fin_tokens, fin_lp, logits = carry
+        # tokens: (B*K, sample_len); beam_lp: (B, K); logits: (B*K, V)
+        filt = apply_filters(logits, tokens, i, cfg)  # (B*K, V)
+        logprobs = jax.nn.log_softmax(filt, axis=-1)
+        # candidate scores: (B, K, V)
+        cand = beam_lp[:, :, None] + logprobs.reshape(B, K, V)
+        # on the first step all beams are identical; keep only beam 0
+        cand = jnp.where(
+            (i == 0) & (jnp.arange(K)[None, :, None] > 0), NEG, cand
+        )
+        flat = cand.reshape(B, K * V)
+        # take top 2K candidates so eot-finishing beams don't starve the beam
+        top_lp, top_idx = jax.lax.top_k(flat, 2 * K)  # (B, 2K)
+        src_beam = top_idx // V  # (B, 2K)
+        tok = (top_idx % V).astype(jnp.int32)
+        is_eot = tok == eot
+
+        # --- finished set update: eot candidates go to the finished pool ---
+        # merge (B, K) existing finished with (B, 2K) eot candidates, keep best K
+        eot_lp = jnp.where(is_eot, top_lp, NEG)
+        merged_lp = jnp.concatenate([fin_lp, eot_lp], axis=1)  # (B, K+2K)
+        # candidate finished tokens: the source beam's tokens with eot at i
+        src_tokens = jnp.take_along_axis(
+            tokens.reshape(B, K, -1), src_beam[:, :, None], axis=1
+        )  # (B, 2K, sample_len)
+        cand_fin_tokens = src_tokens.at[:, :, :].set(src_tokens)
+        cand_fin_tokens = jnp.where(
+            (jnp.arange(cand_fin_tokens.shape[-1]) == i)[None, None, :],
+            eot,
+            cand_fin_tokens,
+        )
+        merged_tokens = jnp.concatenate(
+            [fin_tokens, cand_fin_tokens], axis=1
+        )  # (B, 3K, L)
+        best_fin_lp, best_fin_idx = jax.lax.top_k(merged_lp, K)
+        fin_tokens = jnp.take_along_axis(
+            merged_tokens, best_fin_idx[:, :, None], axis=1
+        )
+        fin_lp = best_fin_lp
+
+        # --- live beam update: best K non-eot candidates continue ---
+        live_lp = jnp.where(is_eot, NEG, top_lp)
+        best_live_lp, best_live_idx = jax.lax.top_k(live_lp, K)  # (B, K)
+        live_beam = jnp.take_along_axis(src_beam, best_live_idx, axis=1)  # (B,K)
+        live_tok = jnp.take_along_axis(tok, best_live_idx, axis=1)  # (B,K)
+
+        # reorder token history and cache by source beam
+        gather_rows = (
+            jnp.arange(B)[:, None] * K + live_beam
+        ).reshape(-1)  # (B*K,) indices into B*K rows
+        tokens = tokens[gather_rows]
+        tokens = tokens.at[:, i].set(live_tok.reshape(-1))
+        cache = model_mod.KVCache(
+            self_k=cache.self_k[:, gather_rows],
+            self_v=cache.self_v[:, gather_rows],
+            cross_k=cache.cross_k,  # identical across beams of the same audio?
+            cross_v=cache.cross_v,
+            index=cache.index,
+        )
+        # NOTE: cross_k/cross_v rows are per-beam copies of the same audio
+        # window, invariant under beam permutation — no gather needed.
+
+        beam_lp = best_live_lp
+        next_logits, cache = model_mod.decode_step(
+            params, dims, live_tok.reshape(-1, 1), cache
+        )
+        return (cache, tokens, beam_lp, fin_tokens, fin_lp, next_logits[:, 0]), None
+
+    tokens0 = jnp.full((B * K, sample_len), eot, jnp.int32)
+    beam_lp0 = jnp.zeros((B, K), jnp.float32)
+    fin_tokens0 = jnp.full((B, K, sample_len), eot, jnp.int32)
+    fin_lp0 = jnp.full((B, K), NEG)
+    (cache, tokens, beam_lp, fin_tokens, fin_lp, _), _ = jax.lax.scan(
+        step_fn,
+        (cache, tokens0, beam_lp0, fin_tokens0, fin_lp0, first_logits),
+        jnp.arange(sample_len),
+    )
+    # any still-live beams count as candidates too (whisper finalizes by
+    # appending eot to unfinished beams)
+    live_tokens = tokens.reshape(B, K, sample_len)
+    all_tokens = jnp.concatenate([fin_tokens, live_tokens], axis=1)  # (B, 2K, L)
+    all_lp = jnp.concatenate([fin_lp, beam_lp], axis=1)  # (B, 2K)
+    return all_tokens, all_lp, probs_at_sot, audio_features
+
+
+# ---------------------------------------------------------------------------
+# host orchestration: decode()
+# ---------------------------------------------------------------------------
+
+
+class MaximumLikelihoodRanker:
+    """Pick the highest log-prob sequence, normalized by length or the Google
+    NMT length penalty ([pip:whisper] decoding.MaximumLikelihoodRanker)."""
+
+    def __init__(self, length_penalty: Optional[float]):
+        self.length_penalty = length_penalty
+
+    def rank(self, tokens: List[List[List[int]]], sum_logprobs: List[List[float]]):
+        def scores(logprobs, lengths):
+            result = []
+            for logprob, length in zip(logprobs, lengths):
+                if self.length_penalty is None:
+                    penalty = length
+                else:
+                    penalty = ((5 + length) / 6) ** self.length_penalty
+                result.append(logprob / penalty)
+            return result
+
+        lengths = [[len(t) for t in s] for s in tokens]
+        return [
+            int(np.argmax(scores(p, l))) for p, l in zip(sum_logprobs, lengths)
+        ]
+
+
+def _resolve_prompt(tokenizer: Tokenizer, options: DecodingOptions) -> List[int]:
+    """Initial token sequence (DecodingTask._get_initial_tokens)."""
+    tokens = list(tokenizer.sot_sequence)
+    if options.without_timestamps:
+        tokens = list(tokenizer.sot_sequence_including_notimestamps)
+    if options.prefix is not None:
+        prefix = options.prefix
+        prefix_tokens = (
+            tokenizer.encode(" " + prefix.strip()) if isinstance(prefix, str) else prefix
+        )
+        if options.sample_len is not None:
+            max_prefix_len = 448 // 2 - options.sample_len
+            prefix_tokens = prefix_tokens[-max_prefix_len:]
+        tokens = tokens + list(prefix_tokens)
+    if options.prompt is not None:
+        prompt = options.prompt
+        prompt_tokens = (
+            tokenizer.encode(" " + prompt.strip()) if isinstance(prompt, str) else prompt
+        )
+        tokens = (
+            [tokenizer.sot_prev] + list(prompt_tokens[-(448 // 2 - 1):]) + tokens
+        )
+    return tokens
+
+
+def decode(
+    params,
+    dims: ModelDimensions,
+    mel: Union[np.ndarray, jax.Array],
+    options: DecodingOptions = DecodingOptions(),
+    *,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=None,
+) -> Union[DecodingResult, List[DecodingResult]]:
+    """Whisper-compatible ``decode``: batched 30s windows in, results out."""
+    single = hasattr(mel, "ndim") and mel.ndim == 2
+    mel = jnp.asarray(mel)
+    if single:
+        mel = mel[None]
+    if mel.shape[-1] != audio_mod.N_FRAMES:
+        mel = audio_mod.pad_or_trim(mel, audio_mod.N_FRAMES, axis=-1)
+
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if options.fp16 else jnp.float32
+
+    language = options.language or "en"
+    tokenizer = get_tokenizer(multilingual=False, language=language, task=options.task)
+
+    n_ctx = dims.n_text_ctx
+    sample_len = options.sample_len or n_ctx // 2
+
+    prompt = _resolve_prompt(tokenizer, options)
+    sot_index = prompt.index(tokenizer.sot)
+    prompt_arr = jnp.asarray([prompt] * mel.shape[0], jnp.int32)
+
+    cfg = build_filter_config(tokenizer, options, len(prompt), dims.n_vocab)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    if options.beam_size is not None and options.temperature == 0:
+        return _decode_beam_host(
+            params, dims, mel, prompt_arr, cfg, sample_len, options, tokenizer,
+            sot_index, rng, compute_dtype, single,
+        )
+
+    n_groups = options.best_of if (options.best_of and options.temperature > 0) else 1
+    B = mel.shape[0]
+    if n_groups > 1:
+        mel_in = jnp.repeat(mel, n_groups, axis=0)
+        prompt_in = jnp.repeat(prompt_arr, n_groups, axis=0)
+    else:
+        mel_in, prompt_in = mel, prompt_arr
+
+    tokens, sum_logprobs, probs_at_sot, audio_features = _decode_greedy_jit(
+        params, dims, mel_in, prompt_in, cfg, sample_len, len(prompt), sot_index,
+        jnp.float32(options.temperature), rng, compute_dtype,
+    )
+    no_speech_probs = np.asarray(probs_at_sot[:, tokenizer.no_speech])
+    tokens_np = np.asarray(tokens).reshape(B, n_groups, sample_len)
+    lp_np = np.asarray(sum_logprobs).reshape(B, n_groups)
+    no_speech_probs = no_speech_probs.reshape(B, n_groups)[:, 0]
+
+    # trim at first eot; collect per group
+    token_lists: List[List[List[int]]] = []
+    lp_lists: List[List[float]] = []
+    for b in range(B):
+        group_tokens, group_lps = [], []
+        for g in range(n_groups):
+            seq = tokens_np[b, g].tolist()
+            if tokenizer.eot in seq:
+                seq = seq[: seq.index(tokenizer.eot)]
+            group_tokens.append(seq)
+            group_lps.append(float(lp_np[b, g]))
+        token_lists.append(group_tokens)
+        lp_lists.append(group_lps)
+
+    return _finalize_results(
+        token_lists, lp_lists, no_speech_probs, tokenizer, options,
+        audio_features, language, single,
+    )
+
+
+def _decode_beam_host(
+    params, dims, mel, prompt_arr, cfg, sample_len, options, tokenizer,
+    sot_index, rng, compute_dtype, single,
+):
+    K = options.beam_size
+    all_tokens, all_lp, probs_at_sot, audio_features = _decode_beam_jit(
+        params, dims, mel, prompt_arr, cfg, sample_len, prompt_arr.shape[1], K,
+        sot_index, rng, compute_dtype,
+    )
+    B = mel.shape[0]
+    no_speech_probs = np.asarray(probs_at_sot[:, tokenizer.no_speech])
+    tokens_np = np.asarray(all_tokens)  # (B, 2K, L)
+    lp_np = np.asarray(all_lp)  # (B, 2K)
+
+    token_lists, lp_lists = [], []
+    for b in range(B):
+        group_tokens, group_lps = [], []
+        for g in range(tokens_np.shape[1]):
+            if lp_np[b, g] <= -1e29:
+                continue
+            seq = tokens_np[b, g].tolist()
+            if tokenizer.eot in seq:
+                seq = seq[: seq.index(tokenizer.eot)]
+            group_tokens.append(seq)
+            group_lps.append(float(lp_np[b, g]))
+        if not group_tokens:
+            group_tokens, group_lps = [[]], [float(lp_np[b, 0])]
+        token_lists.append(group_tokens)
+        lp_lists.append(group_lps)
+
+    return _finalize_results(
+        token_lists, lp_lists, no_speech_probs, tokenizer, options,
+        audio_features, options.language or "en", single,
+    )
+
+
+def _finalize_results(
+    token_lists, lp_lists, no_speech_probs, tokenizer, options,
+    audio_features, language, single,
+) -> Union[DecodingResult, List[DecodingResult]]:
+    ranker = MaximumLikelihoodRanker(options.length_penalty)
+    selected = ranker.rank(token_lists, lp_lists)
+    results = []
+    for b, idx in enumerate(selected):
+        toks = token_lists[b][idx]
+        text = tokenizer.decode(toks).strip()
+        n = len(toks)
+        avg_logprob = lp_lists[b][idx] / (n + 1) if n >= 0 else np.nan
+        results.append(
+            DecodingResult(
+                audio_features=audio_features[b] if audio_features is not None else None,
+                language=language,
+                tokens=toks,
+                text=text,
+                avg_logprob=avg_logprob,
+                no_speech_prob=float(no_speech_probs[b]),
+                temperature=options.temperature,
+                compression_ratio=compression_ratio(text),
+            )
+        )
+    return results[0] if single else results
+
+
+# ---------------------------------------------------------------------------
+# language detection
+# ---------------------------------------------------------------------------
+
+
+def detect_language(
+    params,
+    dims: ModelDimensions,
+    mel: Union[np.ndarray, jax.Array],
+    tokenizer: Optional[Tokenizer] = None,
+) -> Tuple[np.ndarray, Union[Dict[str, float], List[Dict[str, float]]]]:
+    """Single-forward language id ([pip:whisper] decoding.detect_language).
+
+    OLMoASR models are English-only; this exists for API parity and returns a
+    distribution over the 99 language tokens.
+    """
+    if tokenizer is None:
+        tokenizer = get_tokenizer(multilingual=False)
+    single = mel.ndim == 2
+    mel = jnp.asarray(mel)
+    if single:
+        mel = mel[None]
+    if mel.shape[-1] != audio_mod.N_FRAMES:
+        mel = audio_mod.pad_or_trim(mel, audio_mod.N_FRAMES, axis=-1)
+
+    audio_features = model_mod.encode_audio(params, dims, mel)
+    B = mel.shape[0]
+    sot = jnp.full((B, 1), tokenizer.sot, jnp.int32)
+    cache = model_mod.init_cache(params, dims, audio_features, max_len=4)
+    logits, _ = model_mod.decode_step(params, dims, sot, cache)
+    logits = logits[:, 0].astype(jnp.float32)  # (B, V)
+
+    mask = np.full((logits.shape[-1],), -np.inf, np.float32)
+    mask[list(tokenizer.all_language_tokens)] = 0.0
+    logits = logits + jnp.asarray(mask)
+    language_tokens = jnp.argmax(logits, axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs_np = np.asarray(probs)
+    language_probs = [
+        {
+            c: float(probs_np[i, t])
+            for c, t in zip(tokenizer.all_language_codes, tokenizer.all_language_tokens)
+        }
+        for i in range(B)
+    ]
+    if single:
+        return np.asarray(language_tokens)[0], language_probs[0]
+    return np.asarray(language_tokens), language_probs

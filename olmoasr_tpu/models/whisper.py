@@ -1,0 +1,508 @@
+"""TPU-native Whisper-architecture encoder-decoder, as pure JAX functions.
+
+Re-design of the reference's two PyTorch model files —
+``/root/reference/olmoasr/model.py`` (training: SDPA, padding+causal mask,
+vocab n+1 with padding row) and ``/root/reference/olmoasr/inf_model.py``
+(inference: manual attention, hook-based KV cache) — as ONE functional model:
+
+  * Parameters are a pytree of plain jnp arrays. Transformer blocks are
+    **stacked along a leading layer axis** and iterated with ``lax.scan``:
+    O(1) compile time in depth, and FSDP sharding is a single annotation per
+    stacked leaf instead of per-layer bookkeeping.
+  * The KV cache is explicit carried state (per-layer slots in the stacked
+    arrays), not forward hooks — idiomatic JAX, jit/scan compatible
+    (replaces ``inf_model.py:422-453``).
+  * Numerics match the reference: fp32 LayerNorm islands (``model.py:39``),
+    fp32 softmax (``model.py:423-433``), q/k scaled by d_head**-0.25, exact
+    (erf) GELU, logits through the tied token embedding in fp32
+    (``model.py:768-770``). Matmuls run in the param dtype (bf16 on TPU).
+
+Weight convention: linear weights are stored (in_features, out_features) so the
+forward is ``x @ w + b`` (the checkpoint converter transposes from torch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from olmoasr_tpu.models.dims import ModelDimensions
+
+Params = Dict[str, Any]
+
+PADDING_TOKEN = 51864
+
+
+# ---------------------------------------------------------------------------
+# initialization (matches reference init: kaiming-normal fan-in weights,
+# torch-default uniform biases; olmoasr/model.py:81,171,258-264,660-676)
+# ---------------------------------------------------------------------------
+
+
+def _kaiming(key, shape, fan_in, dtype=jnp.float32):
+    std = np.sqrt(2.0 / fan_in)
+    return (jax.random.normal(key, shape) * std).astype(dtype)
+
+
+def _bias_uniform(key, shape, fan_in, dtype=jnp.float32):
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, minval=-bound, maxval=bound).astype(dtype)
+
+
+def _init_block_stack(key, n_layer: int, d: int, cross: bool) -> Params:
+    """Stacked residual-attention-block parameters, leading axis = layer."""
+    keys = iter(jax.random.split(key, 64))
+    nxt = lambda: next(keys)
+    L = n_layer
+    p: Params = {
+        "attn_ln_g": jnp.ones((L, d)), "attn_ln_b": jnp.zeros((L, d)),
+        "attn_q_w": _kaiming(nxt(), (L, d, d), d), "attn_q_b": _bias_uniform(nxt(), (L, d), d),
+        "attn_k_w": _kaiming(nxt(), (L, d, d), d),
+        "attn_v_w": _kaiming(nxt(), (L, d, d), d), "attn_v_b": _bias_uniform(nxt(), (L, d), d),
+        "attn_o_w": _kaiming(nxt(), (L, d, d), d), "attn_o_b": _bias_uniform(nxt(), (L, d), d),
+        "mlp_ln_g": jnp.ones((L, d)), "mlp_ln_b": jnp.zeros((L, d)),
+        "mlp_w1": _kaiming(nxt(), (L, d, 4 * d), d), "mlp_b1": _bias_uniform(nxt(), (L, 4 * d), d),
+        "mlp_w2": _kaiming(nxt(), (L, 4 * d, d), 4 * d), "mlp_b2": _bias_uniform(nxt(), (L, d), 4 * d),
+    }
+    if cross:
+        p.update({
+            "cross_ln_g": jnp.ones((L, d)), "cross_ln_b": jnp.zeros((L, d)),
+            "cross_q_w": _kaiming(nxt(), (L, d, d), d), "cross_q_b": _bias_uniform(nxt(), (L, d), d),
+            "cross_k_w": _kaiming(nxt(), (L, d, d), d),
+            "cross_v_w": _kaiming(nxt(), (L, d, d), d), "cross_v_b": _bias_uniform(nxt(), (L, d), d),
+            "cross_o_w": _kaiming(nxt(), (L, d, d), d), "cross_o_b": _bias_uniform(nxt(), (L, d), d),
+        })
+    return p
+
+
+def init_params(
+    key: jax.Array,
+    dims: ModelDimensions,
+    include_padding_token: bool = True,
+    dtype=jnp.float32,
+) -> Params:
+    """Random-init parameters.
+
+    ``include_padding_token=True`` adds the extra embedding row (id 51864) the
+    training model carries (``model.py:660-667``); inference checkpoints strip
+    it (``scripts/eval/gen_inf_ckpt.py:4-11``).
+    """
+    ke, kd, k1, k2, k3, k4, k5 = jax.random.split(key, 7)
+    d = dims.n_audio_state
+    dt = dims.n_text_state
+    n_vocab = dims.n_vocab + (1 if include_padding_token else 0)
+
+    conv1_fan = dims.n_mels * 3
+    conv2_fan = d * 3
+    kc1, kc1b, kc2, kc2b = jax.random.split(ke, 4)
+    encoder: Params = {
+        # conv kernels in (width, in, out) layout for lax.conv_general_dilated
+        "conv1_w": _kaiming(kc1, (3, dims.n_mels, d), conv1_fan),
+        "conv1_b": _bias_uniform(kc1b, (d,), conv1_fan),
+        "conv2_w": _kaiming(kc2, (3, d, d), conv2_fan),
+        "conv2_b": _bias_uniform(kc2b, (d,), conv2_fan),
+        "blocks": _init_block_stack(k1, dims.n_audio_layer, d, cross=False),
+        "ln_post_g": jnp.ones((d,)), "ln_post_b": jnp.zeros((d,)),
+    }
+
+    tok_emb = _kaiming(k2, (n_vocab, dt), dt)
+    if include_padding_token:
+        tok_emb = tok_emb.at[PADDING_TOKEN].set(0.0)  # padding_idx row zeroed
+    decoder: Params = {
+        "token_embedding": tok_emb,
+        "positional_embedding": _kaiming(k3, (dims.n_text_ctx, dt), dt),
+        "blocks": _init_block_stack(k4, dims.n_text_layer, dt, cross=True),
+        "ln_g": jnp.ones((dt,)), "ln_b": jnp.zeros((dt,)),
+    }
+    params = {"encoder": encoder, "decoder": decoder}
+    if dtype != jnp.float32:
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+    return params
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000) -> np.ndarray:
+    """Sinusoidal position embedding (model.py:199-230); a constant, not a param."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(
+        np.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# core ops
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jax.Array, g: jax.Array, b: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """fp32 LayerNorm island, result cast back to x.dtype (model.py:39)."""
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g.astype(jnp.float32) + b.astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def _split_heads(x: jax.Array, n_head: int) -> jax.Array:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head)
+
+
+def sdpa(
+    q: jax.Array,  # (B, Tq, D)
+    k: jax.Array,  # (B, Tk, D)
+    v: jax.Array,  # (B, Tk, D)
+    n_head: int,
+    mask: Optional[jax.Array] = None,  # additive, broadcastable to (B, H, Tq, Tk)
+) -> jax.Array:
+    """Scaled dot-product attention with whisper's d_head**-0.25 q/k scaling and
+    fp32 softmax (model.py:330-340, 423-433). XLA fuses this well; a Pallas
+    flash-attention path in ``olmoasr_tpu.ops.attention`` replaces it on TPU for
+    long sequences."""
+    d_head = q.shape[-1] // n_head
+    scale = d_head ** -0.25
+    qh = _split_heads(q, n_head) * scale  # (B,Tq,H,Dh)
+    kh = _split_heads(k, n_head) * scale
+    vh = _split_heads(v, n_head)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, vh)
+    return out.reshape(q.shape)
+
+
+def _linear(x, w, b=None):
+    y = x @ w.astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def _block_apply(
+    lp: Params,  # one layer's params (no leading L axis)
+    x: jax.Array,
+    n_head: int,
+    mask: Optional[jax.Array],
+    xa_kv: Optional[Tuple[jax.Array, jax.Array]] = None,  # precomputed cross k/v
+    self_kv: Optional[Tuple[jax.Array, jax.Array]] = None,  # cache for self-attn
+) -> jax.Array:
+    """One residual attention block (model.py:445-529)."""
+    h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
+    q = _linear(h, lp["attn_q_w"], lp["attn_q_b"])
+    if self_kv is None:
+        k = _linear(h, lp["attn_k_w"])
+        v = _linear(h, lp["attn_v_w"], lp["attn_v_b"])
+    else:
+        k, v = self_kv
+    x = x + _linear(sdpa(q, k, v, n_head, mask), lp["attn_o_w"], lp["attn_o_b"])
+
+    if xa_kv is not None:
+        h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
+        q = _linear(h, lp["cross_q_w"], lp["cross_q_b"])
+        ck, cv = xa_kv
+        x = x + _linear(sdpa(q, ck, cv, n_head, None), lp["cross_o_w"], lp["cross_o_b"])
+
+    h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
+    h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
+    h = jax.nn.gelu(h, approximate=False)
+    x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _enc_pos_embedding(n_ctx: int, n_state: int) -> np.ndarray:
+    # cache the numpy constant only — caching a jnp array here would leak a
+    # tracer when first materialized inside a jit trace
+    return sinusoids(n_ctx, n_state)
+
+
+def encode_audio(
+    params: Params,
+    dims: ModelDimensions,
+    mel: jax.Array,  # (B, n_mels, 3000)
+    *,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+) -> jax.Array:
+    """AudioEncoder forward (model.py:531-624): conv stem -> +sinusoids -> blocks -> LN."""
+    enc = params["encoder"]
+    x = mel.astype(compute_dtype)
+
+    def conv1d(x, w, b, stride):
+        # x: (B, C, T) -> conv over T with SAME padding 1, kernel 3
+        y = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=(stride,),
+            padding=[(1, 1)],
+            dimension_numbers=("NCH", "HIO", "NCH"),
+        )
+        return y + b.astype(x.dtype)[None, :, None]
+
+    x = jax.nn.gelu(conv1d(x, enc["conv1_w"], enc["conv1_b"], 1), approximate=False)
+    x = jax.nn.gelu(conv1d(x, enc["conv2_w"], enc["conv2_b"], 2), approximate=False)
+    x = x.transpose(0, 2, 1)  # (B, T=1500, D)
+
+    pos = jnp.asarray(_enc_pos_embedding(dims.n_audio_ctx, dims.n_audio_state))
+    x = (x + pos.astype(x.dtype)).astype(x.dtype)
+
+    blocks = enc["blocks"]
+    block_fn = lambda x, lp: (_block_apply(lp, x, dims.n_audio_head, None), None)
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
+    x, _ = jax.lax.scan(block_fn, x, blocks)
+    return layer_norm(x, enc["ln_post_g"], enc["ln_post_b"])
+
+
+# ---------------------------------------------------------------------------
+# decoder: full-sequence (training) forward
+# ---------------------------------------------------------------------------
+
+
+def decode_train(
+    params: Params,
+    dims: ModelDimensions,
+    tokens: jax.Array,  # (B, T) int32; may contain PADDING_TOKEN
+    audio_features: jax.Array,  # (B, 1500, D)
+    padding_mask: Optional[jax.Array] = None,  # additive (B, T, T) or (B,1,T,T)
+    *,
+    remat: bool = False,
+) -> jax.Array:
+    """TextDecoder training forward (model.py:626-776): causal (+padding) mask,
+    full-sequence attention, logits through tied embedding in fp32."""
+    dec = params["decoder"]
+    T = tokens.shape[1]
+    dtype = audio_features.dtype
+
+    x = dec["token_embedding"][tokens].astype(dtype)
+    x = x + dec["positional_embedding"][:T].astype(dtype)
+
+    causal = jnp.triu(jnp.full((T, T), -jnp.inf, dtype=jnp.float32), k=1)
+    if padding_mask is not None:
+        if padding_mask.ndim == 3:
+            padding_mask = padding_mask[:, None]  # (B,1,T,T)
+        mask = padding_mask.astype(jnp.float32) + causal
+    else:
+        mask = causal[None, None]
+
+    # cross k/v are per-layer projections of the same audio features; computing
+    # them inside the scan keeps memory low and lets XLA overlap with attention.
+    def block_fn(x, lp):
+        ck = _linear(audio_features, lp["cross_k_w"])
+        cv = _linear(audio_features, lp["cross_v_w"], lp["cross_v_b"])
+        return _block_apply(lp, x, dims.n_text_head, mask, xa_kv=(ck, cv)), None
+
+    f = jax.checkpoint(block_fn) if remat else block_fn
+    x, _ = jax.lax.scan(f, x, dec["blocks"])
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"])
+    logits = (x @ dec["token_embedding"].astype(x.dtype).T).astype(jnp.float32)
+    return logits
+
+
+def forward_train(
+    params: Params,
+    dims: ModelDimensions,
+    mel: jax.Array,
+    tokens: jax.Array,
+    padding_mask: Optional[jax.Array] = None,
+    *,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+) -> jax.Array:
+    """Full training forward: mel -> encoder -> decoder -> logits
+    (OLMoASR.forward, model.py:778-923)."""
+    audio = encode_audio(params, dims, mel, compute_dtype=compute_dtype, remat=remat)
+    return decode_train(params, dims, tokens, audio, padding_mask, remat=remat)
+
+
+# ---------------------------------------------------------------------------
+# decoder: KV-cached incremental inference
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    """Explicit decoder state (replaces inf_model.py's forward hooks).
+
+    self_k/self_v: (L, B, n_ctx, D) preallocated rings; ``index`` is the count
+    of valid positions. cross_k/cross_v: (L, B, 1500, D) computed once per
+    audio window.
+    """
+
+    self_k: jax.Array
+    self_v: jax.Array
+    cross_k: jax.Array
+    cross_v: jax.Array
+    index: jax.Array  # scalar int32
+
+
+def init_cache(
+    params: Params,
+    dims: ModelDimensions,
+    audio_features: jax.Array,  # (B, 1500, D)
+    max_len: Optional[int] = None,
+) -> KVCache:
+    """Allocate the cache and precompute per-layer cross-attention k/v."""
+    dec = params["decoder"]
+    L = dims.n_text_layer
+    B = audio_features.shape[0]
+    D = dims.n_text_state
+    n_ctx = max_len or dims.n_text_ctx
+    dtype = audio_features.dtype
+
+    def cross_proj(lp):
+        ck = _linear(audio_features, lp["cross_k_w"])
+        cv = _linear(audio_features, lp["cross_v_w"], lp["cross_v_b"])
+        return ck, cv
+
+    cross_k, cross_v = jax.vmap(cross_proj)(dec["blocks"])  # (L, B, 1500, D)
+    return KVCache(
+        self_k=jnp.zeros((L, B, n_ctx, D), dtype),
+        self_v=jnp.zeros((L, B, n_ctx, D), dtype),
+        cross_k=cross_k,
+        cross_v=cross_v,
+        index=jnp.zeros((), jnp.int32),
+    )
+
+
+def decode_step(
+    params: Params,
+    dims: ModelDimensions,
+    tokens: jax.Array,  # (B, S) — S=prompt len at prefill, 1 afterwards
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """Run the decoder on ``tokens`` starting at position ``cache.index``.
+
+    Returns logits (B, S, n_vocab) and the updated cache. Static shapes: the
+    self-attention reads the full preallocated ring and masks invalid slots, so
+    one compiled program serves every step (jit/scan friendly).
+    """
+    dec = params["decoder"]
+    B, S = tokens.shape
+    dtype = cache.cross_k.dtype
+    n_ctx = cache.self_k.shape[2]
+    offset = cache.index
+
+    x = dec["token_embedding"][tokens].astype(dtype)
+    pos = jax.lax.dynamic_slice_in_dim(
+        dec["positional_embedding"], offset, S, axis=0
+    )
+    x = x + pos.astype(dtype)
+
+    # positions of the S new queries: offset..offset+S-1
+    q_pos = offset + jnp.arange(S)[:, None]  # (S,1)
+    k_pos = jnp.arange(n_ctx)[None, :]  # (1,n_ctx)
+    # causal + validity: key visible iff k_pos <= q_pos (cache slots beyond are zeros)
+    mask = jnp.where(k_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
+
+    def block_fn(x, layer_state):
+        lp, sk, sv, ck, cv = layer_state
+        h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
+        q = _linear(h, lp["attn_q_w"], lp["attn_q_b"])
+        k_new = _linear(h, lp["attn_k_w"])
+        v_new = _linear(h, lp["attn_v_w"], lp["attn_v_b"])
+        sk = jax.lax.dynamic_update_slice_in_dim(sk, k_new, offset, axis=1)
+        sv = jax.lax.dynamic_update_slice_in_dim(sv, v_new, offset, axis=1)
+        x = x + _linear(
+            sdpa(q, sk, sv, dims.n_text_head, mask), lp["attn_o_w"], lp["attn_o_b"]
+        )
+        h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
+        qc = _linear(h, lp["cross_q_w"], lp["cross_q_b"])
+        x = x + _linear(
+            sdpa(qc, ck, cv, dims.n_text_head, None), lp["cross_o_w"], lp["cross_o_b"]
+        )
+        h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
+        h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
+        return x, (sk, sv)
+
+    x, (new_sk, new_sv) = jax.lax.scan(
+        block_fn,
+        x,
+        (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v),
+    )
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"])
+    logits = (x @ dec["token_embedding"].astype(x.dtype).T).astype(jnp.float32)
+    new_cache = KVCache(new_sk, new_sv, cache.cross_k, cache.cross_v, offset + S)
+    return logits, new_cache
+
+
+def cross_attention_weights(
+    params: Params,
+    dims: ModelDimensions,
+    tokens: jax.Array,  # (B, T)
+    audio_features: jax.Array,  # (B, 1500, D)
+) -> jax.Array:
+    """Full-sequence decoder forward that returns per-layer cross-attention
+    softmax weights, shape (L, B, H, T, 1500). Used for word-timing DTW
+    (replaces the attention hooks of [pip:whisper] timing.add_word_timestamps).
+    """
+    dec = params["decoder"]
+    T = tokens.shape[1]
+    dtype = audio_features.dtype
+    n_head = dims.n_text_head
+    d_head = dims.n_text_state // n_head
+
+    x = dec["token_embedding"][tokens].astype(dtype)
+    x = x + dec["positional_embedding"][:T].astype(dtype)
+    causal = jnp.triu(jnp.full((T, T), -jnp.inf, dtype=jnp.float32), k=1)[None, None]
+
+    def block_fn(x, lp):
+        h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
+        q = _linear(h, lp["attn_q_w"], lp["attn_q_b"])
+        k = _linear(h, lp["attn_k_w"])
+        v = _linear(h, lp["attn_v_w"], lp["attn_v_b"])
+        x = x + _linear(sdpa(q, k, v, n_head, causal), lp["attn_o_w"], lp["attn_o_b"])
+
+        h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
+        q = _linear(h, lp["cross_q_w"], lp["cross_q_b"])
+        ck = _linear(audio_features, lp["cross_k_w"])
+        cv = _linear(audio_features, lp["cross_v_w"], lp["cross_v_b"])
+        scale = d_head ** -0.25
+        qh = _split_heads(q, n_head) * scale
+        kh = _split_heads(ck, n_head) * scale
+        w_logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)
+        w = jax.nn.softmax(w_logits, axis=-1)
+        vh = _split_heads(cv, n_head)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", w.astype(vh.dtype), vh).reshape(q.shape)
+        x = x + _linear(attn, lp["cross_o_w"], lp["cross_o_b"])
+
+        h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
+        h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
+        return x, w
+
+    _, weights = jax.lax.scan(block_fn, x, dec["blocks"])
+    return weights  # (L, B, H, T, 1500)
+
+
+# ---------------------------------------------------------------------------
+# misc public helpers (API parity with reference OLMoASR class)
+# ---------------------------------------------------------------------------
+
+
+def embed_audio(params, dims, mel, **kw):
+    return encode_audio(params, dims, mel, **kw)
+
+
+def logits(params, dims, tokens, audio_features, **kw):
+    return decode_train(params, dims, tokens, audio_features, **kw)
+
+
+def num_params(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
