@@ -1,0 +1,97 @@
+"""Benchmark: batched short-form transcription throughput (RTFx per chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the north-star from BASELINE.json: batched 30s-window greedy decode
+(encoder + KV-cached 224-step decoder loop, the full short-form eval path of
+``scripts/eval/eval.py:1845-1847``) on one chip, in audio-seconds transcribed
+per wall-clock second. ``vs_baseline`` is relative to the 1000x real-time
+per-chip target (the reference publishes no RTFx; see BASELINE.md).
+
+Run with real weights when available (OLMOASR_BENCH_CKPT=<path>); random-init
+weights execute the identical compute graph (no data-dependent control flow),
+so throughput is unaffected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from olmoasr_tpu.decoding import DecodingOptions, _decode_greedy_jit, build_filter_config
+    from olmoasr_tpu.models import whisper as m
+    from olmoasr_tpu.models.dims import VARIANT_TO_DIMS
+    from olmoasr_tpu.tokenizer import get_tokenizer
+
+    variant = os.environ.get("OLMOASR_BENCH_VARIANT", "small.en")
+    batch = int(os.environ.get("OLMOASR_BENCH_BATCH", "32"))
+    sample_len = int(os.environ.get("OLMOASR_BENCH_SAMPLE_LEN", "224"))
+    iters = int(os.environ.get("OLMOASR_BENCH_ITERS", "3"))
+
+    dims = VARIANT_TO_DIMS[variant]
+    ckpt = os.environ.get("OLMOASR_BENCH_CKPT")
+    if ckpt:
+        from olmoasr_tpu.models.convert import load_npz_checkpoint, load_torch_checkpoint
+
+        if ckpt.endswith(".npz"):
+            params, dims = load_npz_checkpoint(ckpt)
+        else:
+            params, dims = load_torch_checkpoint(ckpt, inference=True)
+    else:
+        params = m.init_params(
+            jax.random.PRNGKey(0), dims, include_padding_token=False
+        )
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    tokenizer = get_tokenizer(False, language="en", task="transcribe")
+    options = DecodingOptions(language="en", without_timestamps=False)
+    prompt = list(tokenizer.sot_sequence)
+    cfg = build_filter_config(tokenizer, options, len(prompt), dims.n_vocab)
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(
+        rng.standard_normal((batch, dims.n_mels, 3000)) * 0.3, jnp.float32
+    )
+    prompt_arr = jnp.asarray([prompt] * batch, jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    def run():
+        tokens, lp, ns, af = _decode_greedy_jit(
+            params, dims, mel, prompt_arr, cfg, sample_len, len(prompt), 0,
+            jnp.float32(0.0), key, jnp.bfloat16,
+        )
+        # force a device->host transfer: on the axon tunnel block_until_ready
+        # can return before execution finishes, so sync via data dependency
+        return int(np.asarray(tokens[:, -1]).sum())
+
+    run()  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    elapsed = time.perf_counter() - t0
+
+    audio_seconds = batch * 30.0 * iters
+    rtfx = audio_seconds / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"RTFx batched transcribe ({variant}, B={batch}, "
+                f"{sample_len} decode steps)",
+                "value": round(rtfx, 1),
+                "unit": "audio-sec/s/chip",
+                "vs_baseline": round(rtfx / 1000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Training: loss, optimizer, LR schedule, and the sharded train step.
+
+TPU-native replacement for the reference's DDP/FSDP trainers
+(``/root/reference/scripts/training/train_timestamps.py`` and
+``train_fsdp_timestamps.py``): one jit-compiled SPMD train step over a
+(data, fsdp) mesh, with gradient accumulation as a ``lax.scan`` over
+microbatches, bf16 compute with fp32 params/optimizer (no GradScaler needed),
+remat per block, and the exact reference recipe:
+
+  AdamW β=(0.9,0.98) ε=1e-6, weight decay 0.1, peak LR per variant, linear
+  warmup over 0.2% of steps then linear decay, max grad norm 1.0
+  (train_timestamps.py:706-783,2110-2116; BASELINE.md Table 6).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from olmoasr_tpu.models import whisper as model_mod
+from olmoasr_tpu.models.dims import ModelDimensions
+from olmoasr_tpu.models.whisper import PADDING_TOKEN
+from olmoasr_tpu.parallel import mesh as mesh_mod
+
+# peak LR per variant (train_timestamps.py defaults / tech report Table 6)
+VARIANT_TO_LR = {
+    "tiny": 1.5e-3, "base": 1.5e-3, "small": 1.5e-3,
+    "medium": 1.5e-3, "large": 1.5e-3,
+}
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    train_steps: int = 524_288
+    eff_batch_size: int = 512
+    micro_batch_size: int = 8
+    peak_lr: float = 1.5e-3
+    weight_decay: float = 0.1
+    beta1: float = 0.9
+    beta2: float = 0.98
+    eps: float = 1e-6
+    max_grad_norm: float = 1.0
+    warmup_frac: float = 0.002  # warmup = 0.2% of steps (train_timestamps.py:770)
+    remat: bool = True
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def warmup_steps(self) -> int:
+        return max(int(self.train_steps * self.warmup_frac), 1)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array  # scalar int32
+
+
+def lr_schedule(config: TrainConfig):
+    """Linear warmup to peak over 0.2% of steps, then linear decay to 0
+    (train_timestamps.py:738-783)."""
+    warmup = config.warmup_steps
+    total = config.train_steps
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / warmup
+        decay = (total - step) / jnp.maximum(total - warmup, 1)
+        return config.peak_lr * jnp.where(step < warmup, warm, jnp.maximum(decay, 0.0))
+
+    return fn
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adamw(
+            learning_rate=lr_schedule(config),
+            b1=config.beta1,
+            b2=config.beta2,
+            eps=config.eps,
+            weight_decay=config.weight_decay,
+        ),
+    )
+
+
+def loss_fn(
+    params,
+    dims: ModelDimensions,
+    mel: jax.Array,  # (B, n_mels, 3000)
+    text_input: jax.Array,  # (B, 448)
+    text_target: jax.Array,  # (B, 448), PADDING_TOKEN where ignored
+    padding_mask: Optional[jax.Array],  # (B, 448, 448) additive or None
+    *,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = True,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Teacher-forced cross entropy with ignore_index=51864
+    (train_timestamps.py:1444-1450)."""
+    logits = model_mod.forward_train(
+        params, dims, mel, text_input, padding_mask,
+        compute_dtype=compute_dtype, remat=remat,
+    )  # (B, T, V) fp32
+    valid = text_target != PADDING_TOKEN
+    safe_target = jnp.where(valid, text_target, 0)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logprobs, safe_target[..., None], axis=-1)[..., 0]
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n_valid
+    # in-loop teacher-forced accuracy (cheap train-WER proxy;
+    # the reference logs argmax-decode WER at train_timestamps.py:1077-1196)
+    pred = jnp.argmax(logits, axis=-1)
+    acc = jnp.sum((pred == text_target) & valid) / n_valid
+    return loss, {"accuracy": acc, "n_tokens": n_valid}
+
+
+def make_train_step(
+    dims: ModelDimensions,
+    config: TrainConfig,
+    optimizer: optax.GradientTransformation,
+):
+    """Build the jitted train step.
+
+    The batch is (accum, micro_B, ...) — gradient accumulation is a
+    ``lax.scan`` over the leading axis, so one XLA program covers the whole
+    optimizer step (the reference loops microbatches in Python:
+    train_timestamps.py:1508-1549).
+    """
+
+    def grads_of(params, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, dims, batch["mel"], batch["text_input"], batch["text_target"],
+            batch.get("padding_mask"),
+            compute_dtype=config.compute_dtype, remat=config.remat,
+        )
+        return loss, aux, grads
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        def accum_fn(carry, micro):
+            loss_sum, acc_sum, grads_sum = carry
+            loss, aux, grads = grads_of(state.params, micro)
+            grads_sum = jax.tree.map(jnp.add, grads_sum, grads)
+            return (loss_sum + loss, acc_sum + aux["accuracy"], grads_sum), None
+
+        n_accum = batch["mel"].shape[0]
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        (loss_sum, acc_sum, grads), _ = jax.lax.scan(
+            accum_fn, (jnp.float32(0), jnp.float32(0), zero_grads), batch
+        )
+        grads = jax.tree.map(lambda g: g / n_accum, grads)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss_sum / n_accum,
+            "accuracy": acc_sum / n_accum,
+            "grad_norm": optax.global_norm(grads),
+            "lr": lr_schedule(config)(state.step),
+        }
+        return TrainState(new_params, new_opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def init_train_state(
+    rng: jax.Array,
+    dims: ModelDimensions,
+    config: TrainConfig,
+    optimizer: optax.GradientTransformation,
+) -> TrainState:
+    params = model_mod.init_params(rng, dims, include_padding_token=True)
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# sharded (SPMD) wiring
+# ---------------------------------------------------------------------------
+
+
+def shard_train_state(state: TrainState, mesh) -> Tuple[TrainState, Any]:
+    """Place params/opt state on the mesh with FSDP shardings; returns the
+    sharded state and the state-sharding pytree (for jit out_shardings)."""
+    p_shard = mesh_mod.param_shardings(state.params, mesh)
+    rep = mesh_mod.replicated(mesh)
+
+    def opt_shard_of(leaf):
+        # optimizer moments mirror the param tree: reuse param shardings by
+        # shape match, else replicate
+        return rep
+
+    # optax adamw state contains pytrees shaped like params (mu, nu)
+    def map_opt(tree):
+        return jax.tree.map(
+            lambda x: _matching_sharding(x, state.params, p_shard, rep), tree
+        )
+
+    state_shardings = TrainState(
+        params=p_shard,
+        opt_state=map_opt(state.opt_state),
+        step=rep,
+    )
+    sharded = jax.device_put(state, state_shardings)
+    return sharded, state_shardings
+
+
+def _matching_sharding(x, params, p_shard, rep):
+    # moments have the same shapes as params; find a matching leaf sharding
+    flat_p = jax.tree.leaves(params)
+    flat_s = jax.tree.leaves(p_shard, is_leaf=lambda t: hasattr(t, "spec"))
+    if hasattr(x, "shape"):
+        for p, s in zip(flat_p, flat_s):
+            if p.shape == x.shape:
+                return s
+    return rep
+
+
+def make_sharded_train_step(
+    dims: ModelDimensions,
+    config: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    state_shardings,
+):
+    """jit the train step with explicit in/out shardings over the mesh.
+
+    Batch comes in as (accum, micro_B, ...) with micro_B sharded across all
+    devices; XLA inserts the gradient psum (DDP analog) and the FSDP
+    all-gather/reduce-scatter from the param shardings.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    step_fn = make_train_step(dims, config, optimizer)
+    batch_spec = NamedSharding(
+        mesh, P(None, (mesh_mod.DATA_AXIS, mesh_mod.FSDP_AXIS))
+    )
+    batch_shardings = {
+        "mel": batch_spec, "text_input": batch_spec,
+        "text_target": batch_spec, "padding_mask": batch_spec,
+    }
+    rep = mesh_mod.replicated(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_shardings, batch_shardings),
+        out_shardings=(state_shardings, {
+            "loss": rep, "accuracy": rep, "grad_norm": rep, "lr": rep,
+        }),
+        donate_argnums=(0,),
+    )

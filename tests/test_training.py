@@ -1,0 +1,140 @@
+"""Training tests: schedule/optimizer recipe, loss masking, a real sharded
+train step on the 8-device CPU mesh, and the driver dry-run."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from olmoasr_tpu.models.dims import ModelDimensions
+from olmoasr_tpu.models.whisper import PADDING_TOKEN
+from olmoasr_tpu.parallel import mesh as mesh_mod
+from olmoasr_tpu.training import train as train_mod
+
+TINY = ModelDimensions(
+    n_mels=8, n_audio_ctx=12, n_audio_state=32, n_audio_head=2, n_audio_layer=2,
+    n_vocab=128, n_text_ctx=16, n_text_state=32, n_text_head=2, n_text_layer=2,
+)
+
+
+def test_lr_schedule_shape():
+    cfg = train_mod.TrainConfig(train_steps=1000, peak_lr=1e-3)
+    sched = train_mod.lr_schedule(cfg)
+    w = cfg.warmup_steps
+    assert w == 2
+    assert float(sched(0)) == 0.0
+    assert float(sched(w)) == pytest.approx(1e-3)
+    assert float(sched(cfg.train_steps)) == pytest.approx(0.0)
+    # linearity of decay
+    mid = (w + cfg.train_steps) // 2
+    assert float(sched(mid)) == pytest.approx(0.5e-3, rel=0.01)
+
+
+def test_loss_ignores_padding():
+    params = __import__("olmoasr_tpu.models.whisper", fromlist=["x"]).init_params(
+        jax.random.PRNGKey(0), TINY
+    )
+    mel = jnp.zeros((1, 8, 24))
+    ti = jnp.zeros((1, 4), jnp.int32)
+    # all-padding target vs one valid token
+    tgt_pad = jnp.full((1, 4), PADDING_TOKEN, jnp.int32)
+    # vocab is 128 here so use a small "padding" id? PADDING_TOKEN applies to
+    # full-vocab models; emulate with the real constant by placing it directly
+    loss_pad, aux = train_mod.loss_fn(
+        params, TINY, mel, ti, tgt_pad, None, compute_dtype=jnp.float32, remat=False
+    )
+    assert float(aux["n_tokens"]) == 1  # clamped, not zero-div
+    tgt = tgt_pad.at[0, 0].set(5)
+    loss_one, aux1 = train_mod.loss_fn(
+        params, TINY, mel, ti, tgt, None, compute_dtype=jnp.float32, remat=False
+    )
+    assert float(aux1["n_tokens"]) == 1
+    assert np.isfinite(float(loss_one)) and float(loss_one) > 0
+
+
+def test_train_step_reduces_loss():
+    """A few steps on a fixed tiny batch must reduce the loss."""
+    cfg = train_mod.TrainConfig(
+        train_steps=100, peak_lr=1e-3, micro_batch_size=2, remat=False,
+        compute_dtype=jnp.float32,
+    )
+    opt = train_mod.make_optimizer(cfg)
+    state = train_mod.init_train_state(jax.random.PRNGKey(0), TINY, cfg, opt)
+    step = jax.jit(train_mod.make_train_step(TINY, cfg, opt))
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel": jnp.asarray(rng.standard_normal((1, 2, 8, 24)), jnp.float32),
+        "text_input": jnp.asarray(rng.integers(0, 100, (1, 2, 8)), jnp.int32),
+        "text_target": jnp.asarray(rng.integers(0, 100, (1, 2, 8)), jnp.int32),
+    }
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+
+def test_grad_accum_equals_large_batch():
+    """accum=2 of micro-B=2 must equal accum=1 of B=4 (same total batch)."""
+    cfg = train_mod.TrainConfig(
+        train_steps=100, peak_lr=1e-4, remat=False, compute_dtype=jnp.float32
+    )
+    opt = train_mod.make_optimizer(cfg)
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((4, 8, 24)).astype(np.float32)
+    ti = rng.integers(0, 100, (4, 8)).astype(np.int32)
+    tt = rng.integers(0, 100, (4, 8)).astype(np.int32)
+
+    def run(accum):
+        state = train_mod.init_train_state(jax.random.PRNGKey(0), TINY, cfg, opt)
+        step = jax.jit(train_mod.make_train_step(TINY, cfg, opt))
+        b = {
+            "mel": jnp.asarray(mel.reshape(accum, 4 // accum, 8, 24)),
+            "text_input": jnp.asarray(ti.reshape(accum, 4 // accum, 8)),
+            "text_target": jnp.asarray(tt.reshape(accum, 4 // accum, 8)),
+        }
+        state, metrics = step(state, b)
+        return state.params
+
+    p1 = run(1)
+    p2 = run(2)
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p1, p2)
+    assert max(jax.tree.leaves(diffs)) < 2e-5
+
+
+def test_param_shardings_cover_big_leaves():
+    mesh = mesh_mod.make_mesh(2, 4)
+    params = __import__("olmoasr_tpu.models.whisper", fromlist=["x"]).init_params(
+        jax.random.PRNGKey(0),
+        ModelDimensions(
+            n_mels=80, n_audio_ctx=48, n_audio_state=64, n_audio_head=4,
+            n_audio_layer=2, n_vocab=51864, n_text_ctx=32, n_text_state=64,
+            n_text_head=4, n_text_layer=2,
+        ),
+    )
+    shardings = mesh_mod.param_shardings(params, mesh)
+    # embedding sharded (features, since 51865 vocab doesn't divide by 4);
+    # stacked weights sharded along features
+    emb = shardings["decoder"]["token_embedding"]
+    assert emb.spec == jax.sharding.PartitionSpec(None, "fsdp")
+    qw = shardings["encoder"]["blocks"]["attn_q_w"]
+    assert "fsdp" in str(qw.spec)
+
+
+def test_dryrun_multichip_8():
+    """The driver's multi-chip validation: full sharded step on 8 CPU devices."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_compiles_tiny():
+    """entry() returns a jittable fn; evaluate shapes via eval_shape (cheap)."""
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.eval_shape(fn, *args)
+    assert out.shape == (2, 64, 51865)
