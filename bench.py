@@ -35,6 +35,7 @@ def main():
     batch = int(os.environ.get("OLMOASR_BENCH_BATCH", "32"))
     sample_len = int(os.environ.get("OLMOASR_BENCH_SAMPLE_LEN", "224"))
     iters = int(os.environ.get("OLMOASR_BENCH_ITERS", "3"))
+    kv_quant = os.environ.get("OLMOASR_BENCH_KV_QUANT", "1") == "1"
 
     dims = VARIANT_TO_DIMS[variant]
     ckpt = os.environ.get("OLMOASR_BENCH_CKPT")
@@ -66,7 +67,7 @@ def main():
     def run():
         tokens, lp, ns, af = _decode_greedy_jit(
             params, dims, mel, prompt_arr, cfg, sample_len, len(prompt), 0,
-            jnp.float32(0.0), key, jnp.bfloat16,
+            jnp.float32(0.0), key, jnp.bfloat16, kv_quant,
         )
         # force a device->host transfer: on the axon tunnel block_until_ready
         # can return before execution finishes, so sync via data dependency
@@ -84,7 +85,7 @@ def main():
         json.dumps(
             {
                 "metric": f"RTFx batched transcribe ({variant}, B={batch}, "
-                f"{sample_len} decode steps)",
+                f"{sample_len} decode steps{', int8 KV' if kv_quant else ''})",
                 "value": round(rtfx, 1),
                 "unit": "audio-sec/s/chip",
                 "vs_baseline": round(rtfx / 1000.0, 3),

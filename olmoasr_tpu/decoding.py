@@ -64,6 +64,12 @@ class DecodingOptions:
 
     fp16: bool = True  # interpreted as bf16 on TPU
 
+    # TPU-specific performance knobs (no reference equivalent):
+    # int8-quantize the cross-attention K/V cache — the decode loop's dominant
+    # HBM traffic — per-row scales, ~2x decode throughput, negligible WER
+    # impact. Off by default for exact-parity runs.
+    kv_quant: bool = False
+
 
 @dataclass(frozen=True)
 class DecodingResult:
@@ -272,7 +278,7 @@ def _greedy_loop(
         tok = jnp.where(temperature > 0, sampled_tok, greedy_tok)
         return jnp.where(finished, eot, tok.astype(jnp.int32))
 
-    def step_fn(carry, i):
+    def real_step(carry, i):
         cache, tokens, finished, sum_logprobs, logits, rng = carry
         rng, sub = jax.random.split(rng)
         filt = apply_filters(logits, tokens, i, cfg)
@@ -280,18 +286,28 @@ def _greedy_loop(
         logprobs = jax.nn.log_softmax(filt, axis=-1)
         tok_logprob = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
         sum_logprobs = sum_logprobs + jnp.where(finished, 0.0, tok_logprob)
-        tokens = tokens.at[:, i].set(tok)
+        tokens = jax.lax.dynamic_update_slice_in_dim(tokens, tok[:, None], i, axis=1)
         finished = finished | (tok == eot)
         next_logits, cache = model_mod.decode_step(params, dims, tok[:, None], cache)
-        return (cache, tokens, finished, sum_logprobs, next_logits[:, 0], rng), None
+        return (cache, tokens, finished, sum_logprobs, next_logits[:, 0], rng)
+
+    def step_fn(carry, i):
+        # scalar-predicate cond: once every sequence has emitted eot the model
+        # forward is skipped at runtime (with real weights a 30s window
+        # typically finishes in 40-100 steps, not 224 — same early exit the
+        # reference's per-token Python loop gets for free)
+        finished = carry[2]
+        carry = jax.lax.cond(
+            jnp.all(finished), lambda c: c, lambda c: real_step(c, i), carry
+        )
+        return carry, None
 
     tokens0 = jnp.full((B, sample_len), eot, jnp.int32)
     finished0 = jnp.zeros((B,), bool)
     sum_logprobs0 = jnp.zeros((B,), jnp.float32)
+    carry = (cache, tokens0, finished0, sum_logprobs0, first_logits, rng)
     (cache, tokens, finished, sum_logprobs, _, _), _ = jax.lax.scan(
-        step_fn,
-        (cache, tokens0, finished0, sum_logprobs0, first_logits, rng),
-        jnp.arange(sample_len),
+        step_fn, carry, jnp.arange(sample_len)
     )
     return tokens, sum_logprobs
 
@@ -299,7 +315,8 @@ def _greedy_loop(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dims", "cfg", "sample_len", "prompt_len", "sot_index", "compute_dtype"
+        "dims", "cfg", "sample_len", "prompt_len", "sot_index", "compute_dtype",
+        "kv_quant",
     ),
 )
 def _decode_greedy_jit(
@@ -314,6 +331,7 @@ def _decode_greedy_jit(
     temperature: jax.Array,
     rng: jax.Array,
     compute_dtype=jnp.bfloat16,
+    kv_quant: bool = False,
 ):
     """Encoder + prefill + sampling loop, one compiled program.
 
@@ -323,7 +341,8 @@ def _decode_greedy_jit(
         params, dims, mel, compute_dtype=compute_dtype
     )
     cache = model_mod.init_cache(
-        params, dims, audio_features, max_len=prompt_len + sample_len
+        params, dims, audio_features, max_len=prompt_len + sample_len,
+        quantize_cross=kv_quant,
     )
     logits_all, cache = model_mod.decode_step(params, dims, prompt, cache)
     # no_speech prob is measured at the sot position ([pip:whisper]
@@ -585,7 +604,7 @@ def decode(
 
     tokens, sum_logprobs, probs_at_sot, audio_features = _decode_greedy_jit(
         params, dims, mel_in, prompt_in, cfg, sample_len, len(prompt), sot_index,
-        jnp.float32(options.temperature), rng, compute_dtype,
+        jnp.float32(options.temperature), rng, compute_dtype, options.kv_quant,
     )
     no_speech_probs = np.asarray(probs_at_sot[:, tokenizer.no_speech])
     tokens_np = np.asarray(tokens).reshape(B, n_groups, sample_len)

@@ -1,0 +1,411 @@
+"""Evaluation dataset loaders.
+
+Rebuild of the loader layer in ``/root/reference/scripts/eval/eval.py:283-985``:
+a ``BaseDatasetLoader`` per corpus + ``DatasetFactory``. Each loader parses a
+locally downloaded corpus tree into (audio_path_or_array, reference_text)
+pairs; downloading lives in ``olmoasr_tpu.eval.get_eval_set``.
+
+Short-form sets yield ≤30s utterances (batched ``decode``); long-form sets
+yield whole recordings (``transcribe``). CORAAL text cleaning mirrors
+``eval.py:227-280``.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+
+@dataclass
+class EvalItem:
+    audio: Union[str, np.ndarray]  # path or waveform
+    text: str
+    id: Optional[str] = None
+    # optional segment window inside the audio file (seconds)
+    start: Optional[float] = None
+    end: Optional[float] = None
+
+
+class BaseDatasetLoader:
+    """Subclasses parse one corpus layout. ``load()`` -> List[EvalItem]."""
+
+    name: str = ""
+    long_form: bool = False
+
+    def __init__(self, eval_dir: str):
+        self.eval_dir = eval_dir
+
+    def load(self) -> List[EvalItem]:
+        raise NotImplementedError
+
+
+class LibriSpeechLoader(BaseDatasetLoader):
+    """LibriSpeech layout: <root>/<split>/<spk>/<chap>/<spk>-<chap>-<utt>.flac
+    with a ``<spk>-<chap>.trans.txt`` per chapter (eval.py:320-373)."""
+
+    name = "librispeech"
+
+    def __init__(self, eval_dir: str, split: str = "test-clean"):
+        super().__init__(eval_dir)
+        self.split = split
+
+    def load(self) -> List[EvalItem]:
+        root = os.path.join(self.eval_dir, "LibriSpeech", self.split)
+        if not os.path.isdir(root):
+            root = os.path.join(self.eval_dir, self.split)
+        items: List[EvalItem] = []
+        for trans in sorted(
+            glob.glob(os.path.join(root, "*", "*", "*.trans.txt"))
+        ):
+            chapter_dir = os.path.dirname(trans)
+            with open(trans, encoding="utf-8") as f:
+                for line in f:
+                    utt_id, _, text = line.strip().partition(" ")
+                    for ext in (".flac", ".wav"):
+                        audio = os.path.join(chapter_dir, utt_id + ext)
+                        if os.path.isfile(audio):
+                            items.append(EvalItem(audio=audio, text=text, id=utt_id))
+                            break
+        return items
+
+
+class ArtieLoader(BaseDatasetLoader):
+    """Artie bias corpus TSV (eval.py:374-416)."""
+
+    name = "artie"
+
+    def load(self) -> List[EvalItem]:
+        items = []
+        for tsv in glob.glob(os.path.join(self.eval_dir, "**", "*.tsv"), recursive=True):
+            with open(tsv, encoding="utf-8") as f:
+                reader = csv.DictReader(f, delimiter="\t")
+                for row in reader:
+                    path = row.get("path") or row.get("audio")
+                    text = row.get("sentence") or row.get("text") or ""
+                    if path:
+                        items.append(
+                            EvalItem(
+                                audio=os.path.join(os.path.dirname(tsv), path),
+                                text=text,
+                            )
+                        )
+        return items
+
+
+class TedliumLoader(BaseDatasetLoader):
+    """TED-LIUM release 3 STM segments (short-form) or full talks (long-form)."""
+
+    name = "tedlium"
+
+    def __init__(self, eval_dir: str, long_form: bool = False):
+        super().__init__(eval_dir)
+        self.long_form = long_form
+
+    def load(self) -> List[EvalItem]:
+        stm_dir = None
+        for cand in ("legacy/test/stm", "test/stm", "stm"):
+            p = os.path.join(self.eval_dir, cand)
+            if os.path.isdir(p):
+                stm_dir = p
+                break
+        if stm_dir is None:
+            hits = glob.glob(
+                os.path.join(self.eval_dir, "**", "*.stm"), recursive=True
+            )
+            stm_files = sorted(hits)
+        else:
+            stm_files = sorted(glob.glob(os.path.join(stm_dir, "*.stm")))
+
+        items: List[EvalItem] = []
+        for stm in stm_files:
+            sph_dir = os.path.join(os.path.dirname(os.path.dirname(stm)), "sph")
+            talk_texts: List[str] = []
+            talk_audio = None
+            with open(stm, encoding="utf-8") as f:
+                for line in f:
+                    parts = line.strip().split(None, 6)
+                    if len(parts) < 7:
+                        continue
+                    wav_id, _, _, start, end, _, text = parts
+                    if "ignore_time_segment_in_scoring" in text:
+                        continue
+                    audio = None
+                    for ext in (".sph", ".wav"):
+                        cand = os.path.join(sph_dir, wav_id + ext)
+                        if os.path.isfile(cand):
+                            audio = cand
+                            break
+                    if audio is None:
+                        continue
+                    talk_audio = audio
+                    text = text.replace(" <unk>", "").strip()
+                    if self.long_form:
+                        talk_texts.append(text)
+                    else:
+                        items.append(
+                            EvalItem(
+                                audio=audio, text=text,
+                                start=float(start), end=float(end),
+                            )
+                        )
+            if self.long_form and talk_audio is not None and talk_texts:
+                items.append(EvalItem(audio=talk_audio, text=" ".join(talk_texts)))
+        return items
+
+
+_CORAAL_BRACKETS = re.compile(r"(\[|\<)[^\]\>]*(\]|\>)")
+_CORAAL_PAREN = re.compile(r"\([^)]*\)")
+
+
+def clean_coraal_text(text: str) -> str:
+    """CORAAL transcript cleaning (eval.py:227-280): drop markup/pauses,
+    normalize interjections."""
+    text = _CORAAL_BRACKETS.sub("", text)
+    text = _CORAAL_PAREN.sub("", text)
+    text = text.replace("/", " ")
+    text = re.sub(r"\buh+m*\b|\bum+\b|\bmm+\b|\bhm+\b", "", text, flags=re.I)
+    text = re.sub(r"\s+", " ", text)
+    return text.strip()
+
+
+class CoraalLoader(BaseDatasetLoader):
+    """CORAAL: per-component wav + tab-separated transcript files
+    (eval.py:533-581 short-form, 851-892 long-form)."""
+
+    name = "coraal"
+
+    def __init__(self, eval_dir: str, long_form: bool = False):
+        super().__init__(eval_dir)
+        self.long_form = long_form
+
+    def load(self) -> List[EvalItem]:
+        items: List[EvalItem] = []
+        for txt in sorted(
+            glob.glob(os.path.join(self.eval_dir, "**", "*.txt"), recursive=True)
+        ):
+            wav = txt.replace(".txt", ".wav")
+            if not os.path.isfile(wav):
+                continue
+            segs: List[Tuple[float, float, str]] = []
+            with open(txt, encoding="utf-8", errors="replace") as f:
+                reader = csv.DictReader(f, delimiter="\t")
+                if not reader.fieldnames or "Content" not in reader.fieldnames:
+                    continue
+                for row in reader:
+                    content = clean_coraal_text(row.get("Content", ""))
+                    spkr = row.get("Spkr", "")
+                    if not content or "misc" in spkr.lower():
+                        continue
+                    try:
+                        st, en = float(row["StTime"]), float(row["EnTime"])
+                    except (KeyError, ValueError):
+                        continue
+                    segs.append((st, en, content))
+            if not segs:
+                continue
+            if self.long_form:
+                items.append(EvalItem(audio=wav, text=" ".join(s[2] for s in segs)))
+            else:
+                for st, en, content in segs:
+                    if en - st <= 30.0:
+                        items.append(
+                            EvalItem(audio=wav, text=content, start=st, end=en)
+                        )
+        return items
+
+
+class AMILoader(BaseDatasetLoader):
+    """AMI ihm/sdm via segment files (eval.py:493-532)."""
+
+    name = "ami"
+
+    def __init__(self, eval_dir: str, mic: str = "ihm"):
+        super().__init__(eval_dir)
+        self.mic = mic
+
+    def load(self) -> List[EvalItem]:
+        items = []
+        manifest = os.path.join(self.eval_dir, f"ami_{self.mic}.jsonl")
+        if os.path.isfile(manifest):
+            with open(manifest, encoding="utf-8") as f:
+                for line in f:
+                    row = json.loads(line)
+                    items.append(
+                        EvalItem(
+                            audio=row["audio"], text=row["text"],
+                            start=row.get("start"), end=row.get("end"),
+                        )
+                    )
+        return items
+
+
+class ManifestLoader(BaseDatasetLoader):
+    """Generic JSONL manifest: {audio, text, [start, end]} per line — the
+    normalized on-disk format our downloader writes for HF-sourced sets
+    (tedlium/voxpopuli/common_voice/fleurs/meanwhile/rev16/earnings21/22...)."""
+
+    name = "manifest"
+
+    def __init__(self, eval_dir: str, manifest_name: str, long_form: bool = False):
+        super().__init__(eval_dir)
+        self.manifest_name = manifest_name
+        self.long_form = long_form
+
+    def load(self) -> List[EvalItem]:
+        path = os.path.join(self.eval_dir, self.manifest_name)
+        items = []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                row = json.loads(line)
+                audio = row["audio"]
+                if not os.path.isabs(audio):
+                    audio = os.path.join(self.eval_dir, audio)
+                items.append(
+                    EvalItem(
+                        audio=audio, text=row["text"], id=row.get("id"),
+                        start=row.get("start"), end=row.get("end"),
+                    )
+                )
+        return items
+
+
+class WSJLoader(BaseDatasetLoader):
+    """WSJ via kaldi-style wav.scp + text (eval.py:633-685)."""
+
+    name = "wsj"
+
+    def load(self) -> List[EvalItem]:
+        wav_scp = os.path.join(self.eval_dir, "wav.scp")
+        text_f = os.path.join(self.eval_dir, "text")
+        if not (os.path.isfile(wav_scp) and os.path.isfile(text_f)):
+            return []
+        wavs: Dict[str, str] = {}
+        with open(wav_scp, encoding="utf-8") as f:
+            for line in f:
+                utt, _, rest = line.strip().partition(" ")
+                wavs[utt] = rest
+        items = []
+        with open(text_f, encoding="utf-8") as f:
+            for line in f:
+                utt, _, text = line.strip().partition(" ")
+                if utt in wavs:
+                    items.append(EvalItem(audio=wavs[utt], text=text, id=utt))
+        return items
+
+
+class Hub5Loader(BaseDatasetLoader):
+    """CallHome / Switchboard from HUB5 2000 STM (eval.py:686-805)."""
+
+    name = "hub5"
+
+    def __init__(self, eval_dir: str, subset: str = "callhome"):
+        super().__init__(eval_dir)
+        self.subset = subset  # callhome: en_*, switchboard: sw_*
+
+    def load(self) -> List[EvalItem]:
+        stm = os.path.join(self.eval_dir, "hub5e00.english.000405.stm")
+        if not os.path.isfile(stm):
+            cands = glob.glob(os.path.join(self.eval_dir, "**", "*.stm"), recursive=True)
+            if not cands:
+                return []
+            stm = cands[0]
+        prefix = "en_" if self.subset == "callhome" else "sw_"
+        items = []
+        with open(stm, encoding="utf-8", errors="replace") as f:
+            for line in f:
+                if line.startswith(";;"):
+                    continue
+                parts = line.strip().split(None, 6)
+                if len(parts) < 7:
+                    continue
+                wav_id, channel, _, start, end, _, text = parts
+                if not wav_id.lower().startswith(prefix):
+                    continue
+                if "ignore_time_segment_in_scoring" in text:
+                    continue
+                audio = os.path.join(
+                    self.eval_dir, "wav", f"{wav_id.lower()}_{channel}.wav"
+                )
+                items.append(
+                    EvalItem(
+                        audio=audio, text=text,
+                        start=float(start), end=float(end),
+                    )
+                )
+        return items
+
+
+class Kincaid46Loader(BaseDatasetLoader):
+    """Kincaid46 long-form set (eval.py:806-850)."""
+
+    name = "kincaid46"
+    long_form = True
+
+    def load(self) -> List[EvalItem]:
+        csv_path = os.path.join(self.eval_dir, "kincaid46.csv")
+        if not os.path.isfile(csv_path):
+            return ManifestLoader(self.eval_dir, "kincaid46.jsonl", True).load()
+        items = []
+        with open(csv_path, encoding="utf-8") as f:
+            for row in csv.DictReader(f):
+                items.append(
+                    EvalItem(
+                        audio=os.path.join(self.eval_dir, "audio", row["audio"]),
+                        text=row["text"],
+                    )
+                )
+        return items
+
+
+# --- factory ----------------------------------------------------------------
+
+SHORT_FORM_SETS = [
+    "librispeech_clean", "librispeech_other", "artie", "fleurs", "voxpopuli",
+    "ami_ihm", "ami_sdm", "coraal", "chime6", "wsj", "callhome", "switchboard",
+    "tedlium", "common_voice",
+]
+LONG_FORM_SETS = [
+    "tedlium_long", "meanwhile", "kincaid46", "rev16", "earnings21",
+    "earnings22", "coraal_long",
+]
+
+
+class DatasetFactory:
+    """eval.py:893-985 analog: eval-set name -> loader."""
+
+    @staticmethod
+    def create_loader(eval_set: str, eval_dir: str) -> BaseDatasetLoader:
+        if eval_set == "librispeech_clean":
+            return LibriSpeechLoader(eval_dir, "test-clean")
+        if eval_set == "librispeech_other":
+            return LibriSpeechLoader(eval_dir, "test-other")
+        if eval_set == "artie":
+            return ArtieLoader(eval_dir)
+        if eval_set == "tedlium":
+            return TedliumLoader(eval_dir, long_form=False)
+        if eval_set == "tedlium_long":
+            return TedliumLoader(eval_dir, long_form=True)
+        if eval_set == "coraal":
+            return CoraalLoader(eval_dir, long_form=False)
+        if eval_set == "coraal_long":
+            return CoraalLoader(eval_dir, long_form=True)
+        if eval_set in ("ami_ihm", "ami_sdm"):
+            return AMILoader(eval_dir, mic=eval_set.split("_")[1])
+        if eval_set == "wsj":
+            return WSJLoader(eval_dir)
+        if eval_set in ("callhome", "switchboard"):
+            return Hub5Loader(eval_dir, subset=eval_set)
+        if eval_set == "kincaid46":
+            return Kincaid46Loader(eval_dir)
+        # HF-sourced sets are normalized to JSONL manifests by get_eval_set
+        long_form = eval_set in LONG_FORM_SETS
+        return ManifestLoader(eval_dir, f"{eval_set}.jsonl", long_form)

@@ -340,13 +340,33 @@ class KVCache(NamedTuple):
     self_k/self_v: (L, B, n_ctx, D) preallocated rings; ``index`` is the count
     of valid positions. cross_k/cross_v: (L, B, 1500, D) computed once per
     audio window.
+
+    Optional int8 quantization of the cross k/v (the decode loop's dominant
+    HBM traffic — read in full by every layer at every step): values stored
+    int8 with per-(layer, batch, position) scales. The scales factor out of
+    both attention dots (s_t is constant along the contracted feature axis),
+    so dequantized tensors never materialize:
+        logits[.., t] = (q @ k_int8^T)[.., t] * ks[t]
+        out = (w * vs) @ v_int8
     """
 
     self_k: jax.Array
     self_v: jax.Array
-    cross_k: jax.Array
+    cross_k: jax.Array  # bf16/f32, or int8 when quantized
     cross_v: jax.Array
     index: jax.Array  # scalar int32
+    cross_k_scale: Optional[jax.Array] = None  # (L, B, 1500) f32 when int8
+    cross_v_scale: Optional[jax.Array] = None
+
+
+def _quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row (last-axis) symmetric int8 quantization."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
 
 
 def init_cache(
@@ -354,6 +374,8 @@ def init_cache(
     dims: ModelDimensions,
     audio_features: jax.Array,  # (B, 1500, D)
     max_len: Optional[int] = None,
+    *,
+    quantize_cross: bool = False,
 ) -> KVCache:
     """Allocate the cache and precompute per-layer cross-attention k/v."""
     dec = params["decoder"]
@@ -369,13 +391,44 @@ def init_cache(
         return ck, cv
 
     cross_k, cross_v = jax.vmap(cross_proj)(dec["blocks"])  # (L, B, 1500, D)
+    ck_scale = cv_scale = None
+    if quantize_cross:
+        cross_k, ck_scale = _quantize_rows(cross_k)
+        cross_v, cv_scale = _quantize_rows(cross_v)
     return KVCache(
         self_k=jnp.zeros((L, B, n_ctx, D), dtype),
         self_v=jnp.zeros((L, B, n_ctx, D), dtype),
         cross_k=cross_k,
         cross_v=cross_v,
         index=jnp.zeros((), jnp.int32),
+        cross_k_scale=ck_scale,
+        cross_v_scale=cv_scale,
     )
+
+
+def cross_attend(
+    q: jax.Array,  # (B, S, D)
+    ck: jax.Array,  # (B, Tk, D) bf16 or int8
+    cv: jax.Array,
+    n_head: int,
+    ck_scale: Optional[jax.Array] = None,  # (B, Tk) when int8
+    cv_scale: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Cross attention supporting int8 K/V with factored-out scales."""
+    if ck_scale is None:
+        return sdpa(q, ck, cv, n_head, None)
+    d_head = q.shape[-1] // n_head
+    scale = d_head ** -0.25
+    qh = _split_heads(q, n_head) * (scale * scale)  # fold both q,k scales into q
+    kh = _split_heads(ck.astype(qh.dtype), n_head)
+    vh = _split_heads(cv.astype(qh.dtype), n_head)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)
+    logits = logits * ck_scale[:, None, None, :].astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1)
+    # fold the v scale into the attention weights
+    w = (w * cv_scale[:, None, None, :].astype(jnp.float32)).astype(vh.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, vh)
+    return out.reshape(q.shape)
 
 
 def decode_step(
@@ -392,7 +445,7 @@ def decode_step(
     """
     dec = params["decoder"]
     B, S = tokens.shape
-    dtype = cache.cross_k.dtype
+    dtype = cache.self_k.dtype  # cross_k may be int8 when quantized
     n_ctx = cache.self_k.shape[2]
     offset = cache.index
 
@@ -408,8 +461,14 @@ def decode_step(
     # causal + validity: key visible iff k_pos <= q_pos (cache slots beyond are zeros)
     mask = jnp.where(k_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
 
+    quantized = cache.cross_k_scale is not None
+    # Pallas fused cross-attention for single-token steps on TPU: K/V stream
+    # from HBM once (int8 bytes when quantized) with dequant/softmax in VMEM —
+    # the XLA path materializes dequantized copies (olmoasr_tpu/ops/attention.py)
+    use_pallas = S == 1 and jax.default_backend() == "tpu"
+
     def block_fn(x, layer_state):
-        lp, sk, sv, ck, cv = layer_state
+        lp, sk, sv, ck, cv, cks, cvs = layer_state
         h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
         q = _linear(h, lp["attn_q_w"], lp["attn_q_b"])
         k_new = _linear(h, lp["attn_k_w"])
@@ -421,23 +480,38 @@ def decode_step(
         )
         h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
         qc = _linear(h, lp["cross_q_w"], lp["cross_q_b"])
-        x = x + _linear(
-            sdpa(qc, ck, cv, dims.n_text_head, None), lp["cross_o_w"], lp["cross_o_b"]
-        )
+        if use_pallas:
+            from olmoasr_tpu.ops.attention import cross_attend_decode
+
+            attn = cross_attend_decode(
+                qc, ck, cv, cks, cvs, n_head=dims.n_text_head
+            ).astype(x.dtype)
+        else:
+            attn = cross_attend(qc, ck, cv, dims.n_text_head, cks, cvs)
+        x = x + _linear(attn, lp["cross_o_w"], lp["cross_o_b"])
         h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
         h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
         h = jax.nn.gelu(h, approximate=False)
         x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
         return x, (sk, sv)
 
-    x, (new_sk, new_sv) = jax.lax.scan(
-        block_fn,
-        x,
-        (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v),
-    )
+    if quantized:
+        layer_xs = (
+            dec["blocks"], cache.self_k, cache.self_v, cache.cross_k,
+            cache.cross_v, cache.cross_k_scale, cache.cross_v_scale,
+        )
+    else:
+        layer_xs = (
+            dec["blocks"], cache.self_k, cache.self_v, cache.cross_k,
+            cache.cross_v, None, None,
+        )
+    x, (new_sk, new_sv) = jax.lax.scan(block_fn, x, layer_xs)
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
     logits = (x @ dec["token_embedding"].astype(x.dtype).T).astype(jnp.float32)
-    new_cache = KVCache(new_sk, new_sv, cache.cross_k, cache.cross_v, offset + S)
+    new_cache = KVCache(
+        new_sk, new_sv, cache.cross_k, cache.cross_v, offset + S,
+        cache.cross_k_scale, cache.cross_v_scale,
+    )
     return logits, new_cache
 
 

@@ -129,3 +129,29 @@ def test_remat_matches(tiny_params):
         tiny_params, TINY_DIMS, mel, toks, compute_dtype=jnp.float32, remat=True
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_kv_quant_cache_close_to_full(tiny_params):
+    """int8 cross-KV decode stays close to the exact forward."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(2)
+    mel = jax.random.normal(key, (2, TINY_DIMS.n_mels, TINY_DIMS.n_audio_ctx * 2))
+    audio = m.encode_audio(tiny_params, TINY_DIMS, mel, compute_dtype=jnp.float32)
+    toks = jax.random.randint(key, (2, 8), 0, TINY_DIMS.n_vocab)
+    full = m.decode_train(tiny_params, TINY_DIMS, toks, audio)
+    cache = m.init_cache(
+        tiny_params, TINY_DIMS, audio, max_len=TINY_DIMS.n_text_ctx,
+        quantize_cross=True,
+    )
+    assert cache.cross_k.dtype == jnp.int8
+    logits_pre, cache = m.decode_step(tiny_params, TINY_DIMS, toks[:, :8], cache)
+    # quantization error is small relative to logit scale
+    err = float(jnp.abs(logits_pre - full).max())
+    ref = float(jnp.abs(full).max())
+    assert err / ref < 0.05, (err, ref)
+    # and top-1 predictions agree
+    assert bool(
+        jnp.all(jnp.argmax(logits_pre, -1) == jnp.argmax(full, -1))
+    )

@@ -1,0 +1,80 @@
+"""End-to-end training-entry smoke: shards on disk -> N sharded steps ->
+checkpoint -> resume, on the 8-device CPU mesh."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from olmoasr_tpu.models.dims import ModelDimensions
+from olmoasr_tpu.training import train_loop
+
+TINY = ModelDimensions(
+    n_mels=80, n_audio_ctx=1500, n_audio_state=32, n_audio_head=2, n_audio_layer=1,
+    n_vocab=51864, n_text_ctx=448, n_text_state=32, n_text_head=2, n_text_layer=1,
+)
+
+VTT = """WEBVTT
+
+00:00:00.000 --> 00:00:02.000
+hello world
+
+00:00:02.000 --> 00:00:04.500
+training smoke test
+"""
+
+
+@pytest.fixture(scope="module")
+def shard_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("shards")
+    audio_dir = d / "audio"
+    audio_dir.mkdir()
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(32):
+        wav = (rng.standard_normal(16000 * 5) * 2000).astype(np.int16)
+        np.save(audio_dir / f"a{i}.npy", wav)
+        rows.append(
+            {
+                "audio_file": str(audio_dir / f"a{i}.npy"),
+                "transcript": VTT,
+                "ext": "vtt",
+                "norm_end": 4500,
+            }
+        )
+    with gzip.open(d / "shard0.jsonl.gz", "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return d
+
+
+def test_train_loop_smoke_and_resume(shard_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    kwargs = dict(
+        variant=TINY,
+        train_shards=str(shard_dir / "*.jsonl.gz"),
+        exp_name="smoke",
+        train_steps=100,
+        eff_batch_size=16,
+        micro_batch_size=2,  # accum = 16 // (8 * 2) = 1
+        fsdp_size=2,
+        remat=False,
+        ckpt_dir=str(tmp_path / "ckpts"),
+        ckpt_every=2,
+        log_every=1,
+        max_steps_this_run=3,
+    )
+    metrics = train_loop.main(**kwargs)
+    assert metrics["global_step"] == 3
+    assert np.isfinite(metrics["train/loss"])
+    assert "efficiency/audio_min_per_chip_second" in metrics
+    # metrics JSONL written
+    assert os.path.isfile("logs/smoke_metrics.jsonl")
+
+    # resume: next run continues from the saved checkpoint
+    metrics2 = train_loop.main(**{**kwargs, "max_steps_this_run": 2})
+    assert metrics2["global_step"] == 5
