@@ -22,6 +22,68 @@ import time
 import numpy as np
 
 
+def bench_train():
+    """Training-step throughput (tokens/s/chip) on one chip.
+
+    The reference's throughput metric is audio_min_per_GPU_second
+    (train_timestamps.py:1525-1538); we report both. Set
+    OLMOASR_BENCH_MODE=train to select this mode.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from olmoasr_tpu.models.dims import VARIANT_TO_DIMS
+    from olmoasr_tpu.parallel import mesh as mesh_mod
+    from olmoasr_tpu.training import train as train_mod
+
+    variant = os.environ.get("OLMOASR_BENCH_VARIANT", "medium.en")
+    micro_bs = int(os.environ.get("OLMOASR_BENCH_BATCH", "8"))
+    iters = int(os.environ.get("OLMOASR_BENCH_ITERS", "3"))
+
+    dims = VARIANT_TO_DIMS[variant]
+    mesh = mesh_mod.make_mesh(len(jax.devices()), 1)
+    config = train_mod.TrainConfig(
+        train_steps=1000, micro_batch_size=micro_bs, remat=True
+    )
+    optimizer = train_mod.make_optimizer(config)
+    state = train_mod.init_train_state(jax.random.PRNGKey(0), dims, config, optimizer)
+    state, shardings = train_mod.shard_train_state(state, mesh)
+    step = train_mod.make_sharded_train_step(dims, config, optimizer, mesh, shardings)
+
+    rng = np.random.default_rng(0)
+    T = dims.n_text_ctx
+    batch = {
+        "mel": jnp.asarray(
+            rng.standard_normal((1, micro_bs, dims.n_mels, 3000)), jnp.float32
+        ),
+        "text_input": jnp.asarray(rng.integers(0, 51864, (1, micro_bs, T)), jnp.int32),
+        "text_target": jnp.asarray(rng.integers(0, 51864, (1, micro_bs, T)), jnp.int32),
+        "padding_mask": jnp.zeros((1, micro_bs, T, T), jnp.float32),
+    }
+
+    state, metrics = step(state, batch)  # compile
+    _ = float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+        _ = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    # tokens = text positions + audio positions per the usual convention;
+    # report text tokens/s (the H100 comparison basis) and audio-min/s
+    tokens_per_step = micro_bs * T
+    print(
+        json.dumps(
+            {
+                "metric": f"training step throughput ({variant}, micro_bs={micro_bs}, remat, bf16)",
+                "value": round(tokens_per_step / dt, 1),
+                "unit": "text-tokens/s/chip",
+                "vs_baseline": round((micro_bs * 30.0 / 60.0) / dt, 4),
+            }
+        )
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -95,4 +157,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("OLMOASR_BENCH_MODE") == "train":
+        bench_train()
+    else:
+        main()

@@ -260,11 +260,31 @@ def encode_audio(
     pos = jnp.asarray(_enc_pos_embedding(dims.n_audio_ctx, dims.n_audio_state))
     x = (x + pos.astype(x.dtype)).astype(x.dtype)
 
-    blocks = enc["blocks"]
-    block_fn = lambda x, lp: (_block_apply(lp, x, dims.n_audio_head, None), None)
-    if remat:
-        block_fn = jax.checkpoint(block_fn)
-    x, _ = jax.lax.scan(block_fn, x, blocks)
+    # flash attention on TPU for the 1500-position self-attention (trace-time
+    # backend check; CPU tests use the XLA sdpa path)
+    use_flash = jax.default_backend() == "tpu"
+
+    def attn_fn(q, k, v):
+        if use_flash:
+            from olmoasr_tpu.ops.flash import flash_self_attention
+
+            return flash_self_attention(q, k, v, dims.n_audio_head)
+        return sdpa(q, k, v, dims.n_audio_head, None)
+
+    def block_fn(x, lp):
+        h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
+        q = _linear(h, lp["attn_q_w"], lp["attn_q_b"])
+        k = _linear(h, lp["attn_k_w"])
+        v = _linear(h, lp["attn_v_w"], lp["attn_v_b"])
+        x = x + _linear(attn_fn(q, k, v), lp["attn_o_w"], lp["attn_o_b"])
+        h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
+        h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
+        return x, None
+
+    f = jax.checkpoint(block_fn) if remat else block_fn
+    x, _ = jax.lax.scan(f, x, enc["blocks"])
     return layer_norm(x, enc["ln_post_g"], enc["ln_post_b"])
 
 
