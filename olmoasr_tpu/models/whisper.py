@@ -24,6 +24,7 @@ forward is ``x @ w + b`` (the checkpoint converter transposes from torch).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -260,9 +261,15 @@ def encode_audio(
     pos = jnp.asarray(_enc_pos_embedding(dims.n_audio_ctx, dims.n_audio_state))
     x = (x + pos.astype(x.dtype)).astype(x.dtype)
 
-    # flash attention on TPU for the 1500-position self-attention (trace-time
-    # backend check; CPU tests use the XLA sdpa path)
-    use_flash = jax.default_backend() == "tpu"
+    # Optional flash attention for the 1500-position self-attention
+    # (OLMOASR_FLASH=1). Off by default: measured ~2x SLOWER than XLA's fused
+    # attention on v5e at B=32/T=1536/dh=64 with default block sizes (XLA's
+    # logits materialization is hidden behind the MXU at this arithmetic
+    # intensity). Revisit with tuned BlockSizes for training shapes.
+    use_flash = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("OLMOASR_FLASH", "0") == "1"
+    )
 
     def attn_fn(q, k, v):
         if use_flash:
@@ -426,6 +433,44 @@ def init_cache(
     )
 
 
+def _attend_cached(
+    q: jax.Array,  # (B, S, D)
+    k_old: jax.Array,  # (B, C, D) — preallocated ring, only pos < offset valid
+    v_old: jax.Array,
+    k_new: jax.Array,  # (B, S, D) — this call's keys (positions offset..offset+S-1)
+    v_new: jax.Array,
+    offset: jax.Array,  # scalar
+    n_head: int,
+) -> jax.Array:
+    """Self-attention against old-cache + new keys WITHOUT re-reading the
+    updated cache. Keeping the ring read-only inside the layer scan lets XLA
+    alias it (no per-step full-cache rewrite — measured 5.4ms/step -> ~1ms on
+    v5e for small.en B=32); the new (L, B, S, D) slice is written into the
+    cache once per step, outside the scan."""
+    B, S, D = q.shape
+    C = k_old.shape[1]
+    d_head = D // n_head
+    scale = d_head ** -0.25
+    qh = _split_heads(q, n_head) * scale
+    koh = _split_heads(k_old, n_head) * scale
+    knh = _split_heads(k_new, n_head) * scale
+
+    logits_old = jnp.einsum("bqhd,bkhd->bhqk", qh, koh).astype(jnp.float32)
+    k_pos = jnp.arange(C)[None, None, None, :]
+    logits_old = jnp.where(k_pos < offset, logits_old, -jnp.inf)
+    logits_new = jnp.einsum("bqhd,bkhd->bhqk", qh, knh).astype(jnp.float32)
+    causal = jnp.tril(jnp.ones((S, S), bool))[None, None]
+    logits_new = jnp.where(causal, logits_new, -jnp.inf)
+
+    logits = jnp.concatenate([logits_old, logits_new], axis=-1)
+    w = jax.nn.softmax(logits, axis=-1)
+    voh = _split_heads(v_old, n_head)
+    vnh = _split_heads(v_new, n_head)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w[..., :C].astype(voh.dtype), voh)
+    out = out + jnp.einsum("bhqk,bkhd->bqhd", w[..., C:].astype(vnh.dtype), vnh)
+    return out.reshape(q.shape)
+
+
 def cross_attend(
     q: jax.Array,  # (B, S, D)
     ck: jax.Array,  # (B, Tk, D) bf16 or int8
@@ -475,57 +520,51 @@ def decode_step(
     )
     x = x + pos.astype(dtype)
 
-    # positions of the S new queries: offset..offset+S-1
-    q_pos = offset + jnp.arange(S)[:, None]  # (S,1)
-    k_pos = jnp.arange(n_ctx)[None, :]  # (1,n_ctx)
-    # causal + validity: key visible iff k_pos <= q_pos (cache slots beyond are zeros)
-    mask = jnp.where(k_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
-
-    quantized = cache.cross_k_scale is not None
-    # Pallas fused cross-attention for single-token steps on TPU: K/V stream
-    # from HBM once (int8 bytes when quantized) with dequant/softmax in VMEM —
-    # the XLA path materializes dequantized copies (olmoasr_tpu/ops/attention.py)
-    use_pallas = S == 1 and jax.default_backend() == "tpu"
+    use_pallas_cross = (
+        S == 1
+        and jax.default_backend() == "tpu"
+        and os.environ.get("OLMOASR_PALLAS_CROSS", "0") == "1"
+    )
 
     def block_fn(x, layer_state):
+        # self_k/self_v rings are READ-ONLY xs here; the new k/v slices are
+        # emitted as (tiny) ys and written into the cache once, after the scan
+        # — rewriting the rings per layer forces XLA to copy the full cache
+        # every step (measured 5.4 ms/step on v5e before this change).
         lp, sk, sv, ck, cv, cks, cvs = layer_state
         h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
         q = _linear(h, lp["attn_q_w"], lp["attn_q_b"])
         k_new = _linear(h, lp["attn_k_w"])
         v_new = _linear(h, lp["attn_v_w"], lp["attn_v_b"])
-        sk = jax.lax.dynamic_update_slice_in_dim(sk, k_new, offset, axis=1)
-        sv = jax.lax.dynamic_update_slice_in_dim(sv, v_new, offset, axis=1)
-        x = x + _linear(
-            sdpa(q, sk, sv, dims.n_text_head, mask), lp["attn_o_w"], lp["attn_o_b"]
+        attn = _attend_cached(
+            q, sk, sv, k_new, v_new, offset, dims.n_text_head
         )
+        x = x + _linear(attn, lp["attn_o_w"], lp["attn_o_b"])
         h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
         qc = _linear(h, lp["cross_q_w"], lp["cross_q_b"])
-        if use_pallas:
+        if use_pallas_cross:
             from olmoasr_tpu.ops.attention import cross_attend_decode
 
-            attn = cross_attend_decode(
+            cattn = cross_attend_decode(
                 qc, ck, cv, cks, cvs, n_head=dims.n_text_head
             ).astype(x.dtype)
         else:
-            attn = cross_attend(qc, ck, cv, dims.n_text_head, cks, cvs)
-        x = x + _linear(attn, lp["cross_o_w"], lp["cross_o_b"])
+            cattn = cross_attend(qc, ck, cv, dims.n_text_head, cks, cvs)
+        x = x + _linear(cattn, lp["cross_o_w"], lp["cross_o_b"])
         h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
         h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
         h = jax.nn.gelu(h, approximate=False)
         x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
-        return x, (sk, sv)
+        return x, (k_new, v_new)
 
-    if quantized:
-        layer_xs = (
-            dec["blocks"], cache.self_k, cache.self_v, cache.cross_k,
-            cache.cross_v, cache.cross_k_scale, cache.cross_v_scale,
-        )
-    else:
-        layer_xs = (
-            dec["blocks"], cache.self_k, cache.self_v, cache.cross_k,
-            cache.cross_v, None, None,
-        )
-    x, (new_sk, new_sv) = jax.lax.scan(block_fn, x, layer_xs)
+    layer_xs = (
+        dec["blocks"], cache.self_k, cache.self_v, cache.cross_k,
+        cache.cross_v, cache.cross_k_scale, cache.cross_v_scale,
+    )
+    x, (ys_k, ys_v) = jax.lax.scan(block_fn, x, layer_xs)
+    # single small write: (L, B, S, D) into the (L, B, C, D) rings
+    new_sk = jax.lax.dynamic_update_slice_in_dim(cache.self_k, ys_k, offset, axis=2)
+    new_sv = jax.lax.dynamic_update_slice_in_dim(cache.self_v, ys_v, offset, axis=2)
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
     logits = (x @ dec["token_embedding"].astype(x.dtype).T).astype(jnp.float32)
     new_cache = KVCache(

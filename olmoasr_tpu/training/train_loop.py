@@ -26,7 +26,7 @@ import os
 import subprocess
 import sys
 import time
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -74,6 +74,8 @@ def main(
     eval_dir: str = "eval_data",
     seed: int = 42,
     max_steps_this_run: Optional[int] = None,
+    profile_dir: Optional[str] = None,
+    profile_steps: Tuple[int, int] = (10, 15),
 ) -> Dict[str, Any]:
     """Train an OLMoASR variant. Returns final metrics (for tests/smoke)."""
     exp_name = exp_name or f"{variant.replace('.', '_')}_bs{eff_batch_size}"
@@ -140,6 +142,12 @@ def main(
         timer.start("dataloader")
         for batch in loader:
             timer.stop("dataloader")
+            # device-level tracing (replaces the reference's wall-clock-only
+            # instrumentation; torch-tb-profiler was declared but never used)
+            if profile_dir and global_step == start_step + profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and global_step == start_step + profile_steps[1]:
+                jax.profiler.stop_trace()
             timer.start("step")
             state, metrics = step_fn(
                 state, {k: jnp.asarray(v) for k, v in batch.items()}
@@ -217,6 +225,8 @@ if __name__ == "__main__":
     for name, p in sig.parameters.items():
         if p.kind != inspect.Parameter.KEYWORD_ONLY:
             continue
+        if isinstance(p.default, tuple):
+            continue  # not CLI-expressible (e.g. profile_steps)
         if isinstance(p.default, bool):
             parser.add_argument(
                 f"--{name}", type=lambda s: s.lower() in ("1", "true", "yes"),

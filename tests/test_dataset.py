@@ -144,3 +144,21 @@ def test_batch_loader_shapes_and_sharding():
     i0, i1 = set(l0._indices().tolist()), set(l1._indices().tolist())
     assert i0.isdisjoint(i1)
     assert len(i0 | i1) == 16
+
+
+def test_yodas_dataset():
+    from olmoasr_tpu.training.dataset import YodasDataset
+
+    wav = np.zeros(16000 * 6, np.float32)
+    rows = [{
+        "audio": wav,
+        "text": ["first utterance", "second utterance"],
+        "ts": [[0.0, 2.5], [2.5, 5.0]],
+        "utt_id": "y0",
+        "dur": 5.0,
+    }]
+    ds = YodasDataset(rows)
+    item = ds[0]
+    assert item["mel"].shape == (80, 3000)
+    n_valid = int((item["text_input"] != PADDING_TOKEN).sum())
+    assert n_valid > 4
