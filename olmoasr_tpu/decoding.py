@@ -257,86 +257,49 @@ def apply_filters(
 # ---------------------------------------------------------------------------
 
 
-def _greedy_loop(
-    params,
-    dims: ModelDimensions,
-    cache: model_mod.KVCache,
-    first_logits: jax.Array,  # (B, V) logits at the last prompt position
-    cfg: FilterConfig,
-    sample_len: int,
-    temperature: jax.Array,  # traced scalar
-    rng: jax.Array,
-) -> Tuple[jax.Array, jax.Array]:
-    """Fixed-bound sampling loop. Returns (tokens (B, sample_len), sum_logprobs)."""
-    B = first_logits.shape[0]
+def _greedy_step(carry, i, params, dims, cfg, temperature):
+    """One sampling step (scan body — no cond: a data-dependent branch here
+    makes XLA copy the whole carry, cache included, at the join every step)."""
+    cache, tokens, finished, sum_logprobs, logits, rng = carry
     eot = cfg.eot
-
-    def sample(logits, rng, finished):
-        logits = logits / jnp.maximum(temperature, 1e-6)
-        greedy_tok = jnp.argmax(logits, axis=-1)
-        sampled_tok = jax.random.categorical(rng, logits, axis=-1)
-        tok = jnp.where(temperature > 0, sampled_tok, greedy_tok)
-        return jnp.where(finished, eot, tok.astype(jnp.int32))
-
-    def real_step(carry, i):
-        cache, tokens, finished, sum_logprobs, logits, rng = carry
-        rng, sub = jax.random.split(rng)
-        filt = apply_filters(logits, tokens, i, cfg)
-        tok = sample(filt, sub, finished)
-        logprobs = jax.nn.log_softmax(filt, axis=-1)
-        tok_logprob = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
-        sum_logprobs = sum_logprobs + jnp.where(finished, 0.0, tok_logprob)
-        tokens = jax.lax.dynamic_update_slice_in_dim(tokens, tok[:, None], i, axis=1)
-        finished = finished | (tok == eot)
-        next_logits, cache = model_mod.decode_step(params, dims, tok[:, None], cache)
-        return (cache, tokens, finished, sum_logprobs, next_logits[:, 0], rng)
-
-    def step_fn(carry, i):
-        # scalar-predicate cond: once every sequence has emitted eot the model
-        # forward is skipped at runtime (with real weights a 30s window
-        # typically finishes in 40-100 steps, not 224 — same early exit the
-        # reference's per-token Python loop gets for free)
-        finished = carry[2]
-        carry = jax.lax.cond(
-            jnp.all(finished), lambda c: c, lambda c: real_step(c, i), carry
-        )
-        return carry, None
-
-    tokens0 = jnp.full((B, sample_len), eot, jnp.int32)
-    finished0 = jnp.zeros((B,), bool)
-    sum_logprobs0 = jnp.zeros((B,), jnp.float32)
-    carry = (cache, tokens0, finished0, sum_logprobs0, first_logits, rng)
-    (cache, tokens, finished, sum_logprobs, _, _), _ = jax.lax.scan(
-        step_fn, carry, jnp.arange(sample_len)
+    rng, sub = jax.random.split(rng)
+    filt = apply_filters(logits, tokens, i, cfg)
+    greedy_tok = jnp.argmax(filt, axis=-1)
+    sampled_tok = jax.random.categorical(
+        sub, filt / jnp.maximum(temperature, 1e-6), axis=-1
     )
-    return tokens, sum_logprobs
+    tok = jnp.where(temperature > 0, sampled_tok, greedy_tok).astype(jnp.int32)
+    tok = jnp.where(finished, eot, tok)
+    logprobs = jax.nn.log_softmax(filt, axis=-1)
+    tok_logprob = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
+    sum_logprobs = sum_logprobs + jnp.where(finished, 0.0, tok_logprob)
+    tokens = jax.lax.dynamic_update_slice_in_dim(tokens, tok[:, None], i, axis=1)
+    finished = finished | (tok == eot)
+    next_logits, cache = model_mod.decode_step(params, dims, tok[:, None], cache)
+    return (cache, tokens, finished, sum_logprobs, next_logits[:, 0], rng)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dims", "cfg", "sample_len", "prompt_len", "sot_index", "compute_dtype",
+        "dims", "cfg", "prompt_len", "sample_len", "sot_index", "compute_dtype",
         "kv_quant",
     ),
 )
-def _decode_greedy_jit(
+def _decode_prefill_jit(
     params,
     dims: ModelDimensions,
     mel: jax.Array,  # (B, n_mels, 3000)
     prompt: jax.Array,  # (B, prompt_len)
     cfg: FilterConfig,
-    sample_len: int,
     prompt_len: int,
+    sample_len: int,
     sot_index: int,
-    temperature: jax.Array,
     rng: jax.Array,
     compute_dtype=jnp.bfloat16,
     kv_quant: bool = False,
 ):
-    """Encoder + prefill + sampling loop, one compiled program.
-
-    Returns (tokens, sum_logprobs, probs_at_sot, audio_features).
-    """
+    """Encoder + prompt prefill; returns the decode carry + diagnostics."""
     audio_features = model_mod.encode_audio(
         params, dims, mel, compute_dtype=compute_dtype
     )
@@ -351,9 +314,80 @@ def _decode_greedy_jit(
         logits_all[:, sot_index].astype(jnp.float32), axis=-1
     )
     first_logits = logits_all[:, -1].astype(jnp.float32)
-    tokens, sum_logprobs = _greedy_loop(
-        params, dims, cache, first_logits, cfg, sample_len, temperature, rng
+    B = mel.shape[0]
+    carry = (
+        cache,
+        jnp.full((B, sample_len), cfg.eot, jnp.int32),
+        jnp.zeros((B,), bool),
+        jnp.zeros((B,), jnp.float32),
+        first_logits,
+        rng,
     )
+    return carry, probs_at_sot, audio_features
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "cfg", "chunk", "compute_dtype"),
+    donate_argnames=("carry",),
+)
+def _decode_chunk_jit(
+    params,
+    dims: ModelDimensions,
+    carry,
+    start: jax.Array,  # scalar: steps sampled so far
+    cfg: FilterConfig,
+    chunk: int,
+    temperature: jax.Array,
+    compute_dtype=jnp.bfloat16,
+):
+    """``chunk`` sampling steps as one plain scan (donated carry -> in-place)."""
+    def body(c, j):
+        return _greedy_step(c, start + j, params, dims, cfg, temperature), None
+
+    carry, _ = jax.lax.scan(body, carry, jnp.arange(chunk))
+    return carry
+
+
+def _decode_greedy_jit(
+    params,
+    dims: ModelDimensions,
+    mel: jax.Array,
+    prompt: jax.Array,
+    cfg: FilterConfig,
+    sample_len: int,
+    prompt_len: int,
+    sot_index: int,
+    temperature: jax.Array,
+    rng: jax.Array,
+    compute_dtype=jnp.bfloat16,
+    kv_quant: bool = False,
+    chunk: int = 32,
+):
+    """Encoder + prefill + chunked sampling with host-side early exit.
+
+    The loop runs in ``chunk``-step compiled scans; between chunks the host
+    reads only the (B,) ``finished`` flags and stops dispatching when every
+    sequence has emitted eot — the early exit the reference's per-token Python
+    loop gets for free (with real weights a 30s window finishes in 40-100 of
+    the 224 max steps). Device arrays never leave the chip; carries are
+    donated so the cache updates in place.
+    """
+    carry, probs_at_sot, audio_features = _decode_prefill_jit(
+        params, dims, mel, prompt, cfg, prompt_len, sample_len, sot_index, rng,
+        compute_dtype, kv_quant,
+    )
+    n_chunks = (sample_len + chunk - 1) // chunk
+    for c in range(n_chunks):
+        steps = min(chunk, sample_len - c * chunk)
+        carry = _decode_chunk_jit(
+            params, dims, carry, jnp.int32(c * chunk), cfg, steps, temperature,
+            compute_dtype,
+        )
+        finished = np.asarray(carry[2])
+        if finished.all():
+            break
+    _, tokens, _, sum_logprobs, _, _ = carry
     return tokens, sum_logprobs, probs_at_sot, audio_features
 
 
