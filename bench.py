@@ -29,6 +29,7 @@ def bench_train():
     (train_timestamps.py:1525-1538); we report both. Set
     OLMOASR_BENCH_MODE=train to select this mode.
     """
+    import olmoasr_tpu.cache_config  # noqa: F401 (persistent XLA cache)
     import jax
     import jax.numpy as jnp
 
@@ -85,6 +86,7 @@ def bench_train():
 
 
 def main():
+    import olmoasr_tpu.cache_config  # persistent XLA cache
     import jax
     import jax.numpy as jnp
 

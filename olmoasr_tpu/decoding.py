@@ -396,13 +396,120 @@ def _decode_greedy_jit(
 # ---------------------------------------------------------------------------
 
 
+_BEAM_NEG = -1e30
+
+
+def _beam_step(carry, i, params, dims, cfg, B, K):
+    """One beam-search step (whisper BeamSearchDecoder semantics: per audio,
+    the K best unfinished hypotheses continue; eot candidates fill a K-slot
+    finished pool)."""
+    V = dims.n_vocab
+    eot = cfg.eot
+    NEG = jnp.float32(_BEAM_NEG)
+    cache, tokens, beam_lp, fin_tokens, fin_lp, logits = carry
+    # tokens: (B*K, sample_len); beam_lp: (B, K); logits: (B*K, V)
+    filt = apply_filters(logits, tokens, i, cfg)  # (B*K, V)
+    logprobs = jax.nn.log_softmax(filt, axis=-1)
+    cand = beam_lp[:, :, None] + logprobs.reshape(B, K, V)  # (B, K, V)
+    # on the first step all beams are identical; keep only beam 0
+    cand = jnp.where((i == 0) & (jnp.arange(K)[None, :, None] > 0), NEG, cand)
+    flat = cand.reshape(B, K * V)
+    # take top 2K candidates so eot-finishing beams don't starve the beam
+    top_lp, top_idx = jax.lax.top_k(flat, 2 * K)  # (B, 2K)
+    src_beam = top_idx // V  # (B, 2K)
+    tok = (top_idx % V).astype(jnp.int32)
+    is_eot = tok == eot
+
+    # --- finished pool update: merge existing K with the eot candidates ----
+    eot_lp = jnp.where(is_eot, top_lp, NEG)
+    merged_lp = jnp.concatenate([fin_lp, eot_lp], axis=1)  # (B, 3K)
+    src_tokens = jnp.take_along_axis(
+        tokens.reshape(B, K, -1), src_beam[:, :, None], axis=1
+    )  # (B, 2K, sample_len)
+    cand_fin_tokens = jnp.where(
+        (jnp.arange(src_tokens.shape[-1]) == i)[None, None, :], eot, src_tokens
+    )
+    merged_tokens = jnp.concatenate([fin_tokens, cand_fin_tokens], axis=1)
+    best_fin_lp, best_fin_idx = jax.lax.top_k(merged_lp, K)
+    fin_tokens = jnp.take_along_axis(merged_tokens, best_fin_idx[:, :, None], axis=1)
+    fin_lp = best_fin_lp
+
+    # --- live beam update: best K non-eot candidates continue --------------
+    live_lp = jnp.where(is_eot, NEG, top_lp)
+    best_live_lp, best_live_idx = jax.lax.top_k(live_lp, K)  # (B, K)
+    live_beam = jnp.take_along_axis(src_beam, best_live_idx, axis=1)
+    live_tok = jnp.take_along_axis(tok, best_live_idx, axis=1)
+
+    # reorder token history and self-cache by source beam (cross K/V rows are
+    # per-beam copies of the same audio window — invariant under permutation)
+    gather_rows = (jnp.arange(B)[:, None] * K + live_beam).reshape(-1)
+    tokens = tokens[gather_rows]
+    tokens = tokens.at[:, i].set(live_tok.reshape(-1))
+    cache = model_mod.KVCache(
+        self_k=cache.self_k[:, gather_rows],
+        self_v=cache.self_v[:, gather_rows],
+        cross_k=cache.cross_k,
+        cross_v=cache.cross_v,
+        index=cache.index,
+        cross_k_scale=cache.cross_k_scale,
+        cross_v_scale=cache.cross_v_scale,
+    )
+    beam_lp = best_live_lp
+    next_logits, cache = model_mod.decode_step(
+        params, dims, live_tok.reshape(-1, 1), cache
+    )
+    return (cache, tokens, beam_lp, fin_tokens, fin_lp, next_logits[:, 0])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "dims", "cfg", "sample_len", "prompt_len", "beam_size", "sot_index",
-        "compute_dtype",
+        "compute_dtype", "kv_quant",
     ),
 )
+def _beam_prefill_jit(
+    params, dims, mel, prompt, cfg, sample_len, prompt_len, beam_size,
+    sot_index, compute_dtype=jnp.bfloat16, kv_quant: bool = False,
+):
+    B, K = mel.shape[0], beam_size
+    audio_features = model_mod.encode_audio(
+        params, dims, mel, compute_dtype=compute_dtype
+    )
+    af = jnp.repeat(audio_features, K, axis=0)
+    cache = model_mod.init_cache(
+        params, dims, af, max_len=prompt_len + sample_len, quantize_cross=kv_quant
+    )
+    prompt_k = jnp.repeat(prompt, K, axis=0)
+    logits_all, cache = model_mod.decode_step(params, dims, prompt_k, cache)
+    probs_at_sot = jax.nn.softmax(
+        logits_all[::K, sot_index].astype(jnp.float32), axis=-1
+    )
+    first_logits = logits_all[:, -1].astype(jnp.float32)
+    carry = (
+        cache,
+        jnp.full((B * K, sample_len), cfg.eot, jnp.int32),
+        jnp.zeros((B, K), jnp.float32),
+        jnp.full((B, K, sample_len), cfg.eot, jnp.int32),
+        jnp.full((B, K), jnp.float32(_BEAM_NEG)),
+        first_logits,
+    )
+    return carry, probs_at_sot, audio_features
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dims", "cfg", "chunk", "B", "K"),
+    donate_argnames=("carry",),
+)
+def _beam_chunk_jit(params, dims, carry, start, cfg, chunk, B, K):
+    def body(c, j):
+        return _beam_step(c, start + j, params, dims, cfg, B, K), None
+
+    carry, _ = jax.lax.scan(body, carry, jnp.arange(chunk))
+    return carry
+
+
 def _decode_beam_jit(
     params,
     dims: ModelDimensions,
@@ -415,117 +522,30 @@ def _decode_beam_jit(
     sot_index: int,
     rng: jax.Array,
     compute_dtype=jnp.bfloat16,
+    chunk: int = 32,
 ):
-    """Beam search with beams as a batch dimension (B*K rows).
+    """Chunked beam search with host-side early exit: stop dispatching once
+    every audio has a full finished pool whose worst score beats the best
+    live beam (no live continuation can still enter the pool).
 
-    Whisper's BeamSearchDecoder keeps, per audio, the `beam_size` best
-    unfinished hypotheses; finished (eot) hypotheses are stored and the beam
-    slot is refilled from the next-best candidate. We replicate that with a
-    (B, K) live beam set plus a (B, K) finished set (whisper keeps up to
-    ``beam_size * patience`` finished candidates; patience handling happens in
-    the host wrapper by reading the finished set).
-
-    Returns: tokens (B, K, sample_len) finished hypotheses (eot-terminated),
-    their cumulative logprobs (B, K), no_speech probs (B,), audio_features.
+    Returns: tokens (B, 2K, sample_len) candidates, logprobs (B, 2K),
+    no_speech probs (B,), audio_features.
     """
-    B = mel.shape[0]
-    K = beam_size
-    V = dims.n_vocab
-    eot = cfg.eot
-
-    audio_features = model_mod.encode_audio(
-        params, dims, mel, compute_dtype=compute_dtype
+    B, K = mel.shape[0], beam_size
+    carry, probs_at_sot, audio_features = _beam_prefill_jit(
+        params, dims, mel, prompt, cfg, sample_len, prompt_len, beam_size,
+        sot_index, compute_dtype,
     )
-    # expand to beams: (B*K, ...)
-    af = jnp.repeat(audio_features, K, axis=0)
-    cache = model_mod.init_cache(params, dims, af, max_len=prompt_len + sample_len)
-    prompt_k = jnp.repeat(prompt, K, axis=0)
-    logits_all, cache = model_mod.decode_step(params, dims, prompt_k, cache)
-    probs_at_sot = jax.nn.softmax(
-        logits_all[::K, sot_index].astype(jnp.float32), axis=-1
-    )  # (B, V)
-    first_logits = logits_all[:, -1].astype(jnp.float32)  # (B*K, V)
-
-    NEG = jnp.float32(-1e30)
-
-    def step_fn(carry, i):
-        cache, tokens, beam_lp, fin_tokens, fin_lp, logits = carry
-        # tokens: (B*K, sample_len); beam_lp: (B, K); logits: (B*K, V)
-        filt = apply_filters(logits, tokens, i, cfg)  # (B*K, V)
-        logprobs = jax.nn.log_softmax(filt, axis=-1)
-        # candidate scores: (B, K, V)
-        cand = beam_lp[:, :, None] + logprobs.reshape(B, K, V)
-        # on the first step all beams are identical; keep only beam 0
-        cand = jnp.where(
-            (i == 0) & (jnp.arange(K)[None, :, None] > 0), NEG, cand
+    n_chunks = (sample_len + chunk - 1) // chunk
+    for c in range(n_chunks):
+        steps = min(chunk, sample_len - c * chunk)
+        carry = _beam_chunk_jit(
+            params, dims, carry, jnp.int32(c * chunk), cfg, steps, B, K
         )
-        flat = cand.reshape(B, K * V)
-        # take top 2K candidates so eot-finishing beams don't starve the beam
-        top_lp, top_idx = jax.lax.top_k(flat, 2 * K)  # (B, 2K)
-        src_beam = top_idx // V  # (B, 2K)
-        tok = (top_idx % V).astype(jnp.int32)
-        is_eot = tok == eot
-
-        # --- finished set update: eot candidates go to the finished pool ---
-        # merge (B, K) existing finished with (B, 2K) eot candidates, keep best K
-        eot_lp = jnp.where(is_eot, top_lp, NEG)
-        merged_lp = jnp.concatenate([fin_lp, eot_lp], axis=1)  # (B, K+2K)
-        # candidate finished tokens: the source beam's tokens with eot at i
-        src_tokens = jnp.take_along_axis(
-            tokens.reshape(B, K, -1), src_beam[:, :, None], axis=1
-        )  # (B, 2K, sample_len)
-        cand_fin_tokens = src_tokens.at[:, :, :].set(src_tokens)
-        cand_fin_tokens = jnp.where(
-            (jnp.arange(cand_fin_tokens.shape[-1]) == i)[None, None, :],
-            eot,
-            cand_fin_tokens,
-        )
-        merged_tokens = jnp.concatenate(
-            [fin_tokens, cand_fin_tokens], axis=1
-        )  # (B, 3K, L)
-        best_fin_lp, best_fin_idx = jax.lax.top_k(merged_lp, K)
-        fin_tokens = jnp.take_along_axis(
-            merged_tokens, best_fin_idx[:, :, None], axis=1
-        )
-        fin_lp = best_fin_lp
-
-        # --- live beam update: best K non-eot candidates continue ---
-        live_lp = jnp.where(is_eot, NEG, top_lp)
-        best_live_lp, best_live_idx = jax.lax.top_k(live_lp, K)  # (B, K)
-        live_beam = jnp.take_along_axis(src_beam, best_live_idx, axis=1)  # (B,K)
-        live_tok = jnp.take_along_axis(tok, best_live_idx, axis=1)  # (B,K)
-
-        # reorder token history and cache by source beam
-        gather_rows = (
-            jnp.arange(B)[:, None] * K + live_beam
-        ).reshape(-1)  # (B*K,) indices into B*K rows
-        tokens = tokens[gather_rows]
-        tokens = tokens.at[:, i].set(live_tok.reshape(-1))
-        cache = model_mod.KVCache(
-            self_k=cache.self_k[:, gather_rows],
-            self_v=cache.self_v[:, gather_rows],
-            cross_k=cache.cross_k,  # identical across beams of the same audio?
-            cross_v=cache.cross_v,
-            index=cache.index,
-        )
-        # NOTE: cross_k/cross_v rows are per-beam copies of the same audio
-        # window, invariant under beam permutation — no gather needed.
-
-        beam_lp = best_live_lp
-        next_logits, cache = model_mod.decode_step(
-            params, dims, live_tok.reshape(-1, 1), cache
-        )
-        return (cache, tokens, beam_lp, fin_tokens, fin_lp, next_logits[:, 0]), None
-
-    tokens0 = jnp.full((B * K, sample_len), eot, jnp.int32)
-    beam_lp0 = jnp.zeros((B, K), jnp.float32)
-    fin_tokens0 = jnp.full((B, K, sample_len), eot, jnp.int32)
-    fin_lp0 = jnp.full((B, K), NEG)
-    (cache, tokens, beam_lp, fin_tokens, fin_lp, _), _ = jax.lax.scan(
-        step_fn,
-        (cache, tokens0, beam_lp0, fin_tokens0, fin_lp0, first_logits),
-        jnp.arange(sample_len),
-    )
+        beam_lp, fin_lp = np.asarray(carry[2]), np.asarray(carry[4])
+        if (fin_lp.min(axis=1) >= beam_lp.max(axis=1)).all():
+            break
+    (cache, tokens, beam_lp, fin_tokens, fin_lp, _) = carry
     # any still-live beams count as candidates too (whisper finalizes by
     # appending eot to unfinished beams)
     live_tokens = tokens.reshape(B, K, sample_len)

@@ -344,6 +344,56 @@ class Hub5Loader(BaseDatasetLoader):
         return items
 
 
+class CHiME6Loader(BaseDatasetLoader):
+    """CHiME-6 dinner-party corpus (eval.py:582-632; the reference segments it
+    at download time with pydub — here we read the official layout directly):
+    ``transcriptions/<split>/S*.json`` utterance lists + per-session array
+    wavs under ``audio/<split>/``."""
+
+    name = "chime6"
+
+    def __init__(self, eval_dir: str, split: str = "eval"):
+        super().__init__(eval_dir)
+        self.split = split
+
+    @staticmethod
+    def _t(ts: str) -> float:
+        parts = [float(p) for p in ts.split(":")]
+        while len(parts) < 3:
+            parts.insert(0, 0.0)
+        return parts[0] * 3600 + parts[1] * 60 + parts[2]
+
+    def load(self) -> List[EvalItem]:
+        items: List[EvalItem] = []
+        trans_dir = os.path.join(self.eval_dir, "transcriptions", self.split)
+        audio_dir = os.path.join(self.eval_dir, "audio", self.split)
+        for tj in sorted(glob.glob(os.path.join(trans_dir, "*.json"))):
+            session = os.path.splitext(os.path.basename(tj))[0]
+            # prefer the reference's binaural/worn mics, else the first array
+            wavs = sorted(glob.glob(os.path.join(audio_dir, f"{session}_P*.wav"))) or \
+                sorted(glob.glob(os.path.join(audio_dir, f"{session}_U*.wav")))
+            if not wavs:
+                continue
+            wav = wavs[0]
+            with open(tj, encoding="utf-8") as f:
+                utts = json.load(f)
+            for utt in utts:
+                text = utt.get("words", "")
+                text = re.sub(r"\[[^\]]*\]", "", text).strip()  # [noise] etc
+                if not text:
+                    continue
+                start = utt.get("start_time")
+                end = utt.get("end_time")
+                if isinstance(start, dict):  # per-mic dict in some releases
+                    start = next(iter(start.values()))
+                    end = next(iter(end.values()))
+                s, e = self._t(str(start)), self._t(str(end))
+                if e - s <= 0 or e - s > 30:
+                    continue
+                items.append(EvalItem(audio=wav, text=text, start=s, end=e))
+        return items
+
+
 class Kincaid46Loader(BaseDatasetLoader):
     """Kincaid46 long-form set (eval.py:806-850)."""
 
@@ -404,6 +454,8 @@ class DatasetFactory:
             return WSJLoader(eval_dir)
         if eval_set in ("callhome", "switchboard"):
             return Hub5Loader(eval_dir, subset=eval_set)
+        if eval_set == "chime6":
+            return CHiME6Loader(eval_dir)
         if eval_set == "kincaid46":
             return Kincaid46Loader(eval_dir)
         # HF-sourced sets are normalized to JSONL manifests by get_eval_set

@@ -561,6 +561,8 @@ def decode_step(
         dec["blocks"], cache.self_k, cache.self_v, cache.cross_k,
         cache.cross_v, cache.cross_k_scale, cache.cross_v_scale,
     )
+    # NOTE: unrolling this layer loop (unroll=n_text_layer) made the remote
+    # TPU compile exceed 30 minutes for the 32-step decode chunk; kept rolled.
     x, (ys_k, ys_v) = jax.lax.scan(block_fn, x, layer_xs)
     # single small write: (L, B, S, D) into the (L, B, C, D) rings
     new_sk = jax.lax.dynamic_update_slice_in_dim(cache.self_k, ys_k, offset, axis=2)

@@ -110,3 +110,25 @@ def test_short_form_eval_end_to_end(librispeech_tree, tmp_path):
 def test_bootstrap_ci():
     lo, hi = bootstrap_ci([0.1, 0.2, 0.3, 0.15, 0.25] * 10)
     assert 0.1 < lo < hi < 0.3
+
+
+def test_chime6_loader(tmp_path):
+    import scipy.io.wavfile as wavfile
+
+    from olmoasr_tpu.eval.datasets import CHiME6Loader
+
+    tdir = tmp_path / "transcriptions" / "eval"
+    adir = tmp_path / "audio" / "eval"
+    tdir.mkdir(parents=True)
+    adir.mkdir(parents=True)
+    wavfile.write(str(adir / "S01_P01.wav"), 16000, np.zeros(16000 * 20, np.int16))
+    (tdir / "S01.json").write_text(json.dumps([
+        {"start_time": "0:00:01.00", "end_time": "0:00:03.50",
+         "words": "hello there [noise]", "speaker": "P01"},
+        {"start_time": "0:00:04.00", "end_time": "0:00:05.00",
+         "words": "[laughs]", "speaker": "P02"},
+    ]))
+    items = CHiME6Loader(str(tmp_path)).load()
+    assert len(items) == 1  # noise-only utterance dropped
+    assert items[0].text == "hello there"
+    assert items[0].start == 1.0 and items[0].end == 3.5

@@ -1,0 +1,71 @@
+"""End-to-end long-form transcribe on a tiny random model (CPU): the full
+window loop, fallback ladder, segmentation, and writer integration."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from olmoasr_tpu.api import OLMoASR
+from olmoasr_tpu.models.dims import ModelDimensions
+
+MICRO = ModelDimensions(
+    n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4, n_audio_layer=1,
+    n_vocab=51864, n_text_ctx=448, n_text_state=64, n_text_head=4, n_text_layer=1,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return OLMoASR(MICRO, inference=True)
+
+
+@pytest.fixture(autouse=True)
+def small_sample_len(monkeypatch):
+    """Cap decode length so the random model doesn't run 224 steps per temp."""
+    import olmoasr_tpu.transcribe as T
+    from olmoasr_tpu.decoding import DecodingOptions as Orig
+
+    def small(**kw):
+        kw.setdefault("sample_len", 12)
+        kw.setdefault("fp16", False)
+        return Orig(**kw)
+
+    monkeypatch.setattr(T, "DecodingOptions", small)
+
+
+def test_transcribe_short_clip(model):
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(16000 * 2) * 0.05).astype(np.float32)
+    out = model.transcribe(wav, temperature=0.0, beam_size=None, best_of=None,
+                           compression_ratio_threshold=None,
+                           logprob_threshold=None, no_speech_threshold=None)
+    assert set(out) == {"text", "segments", "language"}
+    assert out["language"] == "en"
+    for seg in out["segments"]:
+        for key in ("id", "seek", "start", "end", "text", "tokens", "temperature",
+                    "avg_logprob", "compression_ratio", "no_speech_prob"):
+            assert key in seg
+        assert 0.0 <= seg["start"] <= seg["end"]
+
+
+def test_transcribe_long_clip_advances_seek(model):
+    """A 70s clip must process multiple windows and terminate."""
+    rng = np.random.default_rng(1)
+    wav = (rng.standard_normal(16000 * 70) * 0.05).astype(np.float32)
+    out = model.transcribe(wav, temperature=0.0, beam_size=None, best_of=None,
+                           compression_ratio_threshold=None,
+                           logprob_threshold=None, no_speech_threshold=None)
+    seeks = {seg["seek"] for seg in out["segments"]}
+    assert len(seeks) >= 2  # advanced beyond the first window
+
+
+def test_transcribe_clip_timestamps(model):
+    wav = np.zeros(16000 * 40, np.float32)
+    out = model.transcribe(wav, clip_timestamps="0,10", temperature=0.0,
+                           beam_size=None, best_of=None,
+                           compression_ratio_threshold=None,
+                           logprob_threshold=None, no_speech_threshold=None)
+    # all segments within the first 10 seconds window
+    for seg in out["segments"]:
+        assert seg["seek"] <= 1000
