@@ -257,7 +257,7 @@ def apply_filters(
 # ---------------------------------------------------------------------------
 
 
-def _greedy_step(carry, i, params, dims, cfg, temperature):
+def _greedy_step(carry, i, params, dims, cfg, temperature, greedy_only):
     """One sampling step (scan body — no cond: a data-dependent branch here
     makes XLA copy the whole carry, cache included, at the join every step)."""
     cache, tokens, finished, sum_logprobs, logits, rng = carry
@@ -265,10 +265,14 @@ def _greedy_step(carry, i, params, dims, cfg, temperature):
     rng, sub = jax.random.split(rng)
     filt = apply_filters(logits, tokens, i, cfg)
     greedy_tok = jnp.argmax(filt, axis=-1)
-    sampled_tok = jax.random.categorical(
-        sub, filt / jnp.maximum(temperature, 1e-6), axis=-1
-    )
-    tok = jnp.where(temperature > 0, sampled_tok, greedy_tok).astype(jnp.int32)
+    if greedy_only:
+        # statically temperature==0: skip the gumbel/categorical computation
+        tok = greedy_tok.astype(jnp.int32)
+    else:
+        sampled_tok = jax.random.categorical(
+            sub, filt / jnp.maximum(temperature, 1e-6), axis=-1
+        )
+        tok = jnp.where(temperature > 0, sampled_tok, greedy_tok).astype(jnp.int32)
     tok = jnp.where(finished, eot, tok)
     logprobs = jax.nn.log_softmax(filt, axis=-1)
     tok_logprob = jnp.take_along_axis(logprobs, tok[:, None], axis=1)[:, 0]
@@ -328,7 +332,7 @@ def _decode_prefill_jit(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dims", "cfg", "chunk", "compute_dtype"),
+    static_argnames=("dims", "cfg", "chunk", "greedy_only", "compute_dtype"),
     donate_argnames=("carry",),
 )
 def _decode_chunk_jit(
@@ -339,11 +343,14 @@ def _decode_chunk_jit(
     cfg: FilterConfig,
     chunk: int,
     temperature: jax.Array,
+    greedy_only: bool = False,
     compute_dtype=jnp.bfloat16,
 ):
     """``chunk`` sampling steps as one plain scan (donated carry -> in-place)."""
     def body(c, j):
-        return _greedy_step(c, start + j, params, dims, cfg, temperature), None
+        return _greedy_step(
+            c, start + j, params, dims, cfg, temperature, greedy_only
+        ), None
 
     carry, _ = jax.lax.scan(body, carry, jnp.arange(chunk))
     return carry
@@ -377,12 +384,13 @@ def _decode_greedy_jit(
         params, dims, mel, prompt, cfg, prompt_len, sample_len, sot_index, rng,
         compute_dtype, kv_quant,
     )
+    greedy_only = bool(np.asarray(temperature) == 0.0)
     n_chunks = (sample_len + chunk - 1) // chunk
     for c in range(n_chunks):
         steps = min(chunk, sample_len - c * chunk)
         carry = _decode_chunk_jit(
             params, dims, carry, jnp.int32(c * chunk), cfg, steps, temperature,
-            compute_dtype,
+            greedy_only=greedy_only, compute_dtype=compute_dtype,
         )
         finished = np.asarray(carry[2])
         if finished.all():
