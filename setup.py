@@ -5,7 +5,7 @@ setup(
     version="0.1.0",
     description="TPU-native (JAX/XLA/Pallas) speech recognition framework "
     "with the capabilities of allenai/OLMoASR",
-    packages=find_packages(include=["olmoasr_tpu", "olmoasr_tpu.*"]),
+    packages=find_packages(include=["olmoasr_tpu", "olmoasr_tpu.*", "olmoasr"]),
     python_requires=">=3.10",
     install_requires=["jax", "numpy", "regex", "scipy", "optax"],
     entry_points={
