@@ -409,12 +409,14 @@ _BEAM_NEG = -1e30
 
 def _beam_step(carry, i, params, dims, cfg, B, K):
     """One beam-search step (whisper BeamSearchDecoder semantics: per audio,
-    the K best unfinished hypotheses continue; eot candidates fill a K-slot
-    finished pool)."""
+    the K best unfinished hypotheses continue; eot candidates fill a
+    ``max_candidates = round(K * patience)``-slot finished pool — the pool
+    size is set by the caller via the fin_* carry shapes)."""
     V = dims.n_vocab
     eot = cfg.eot
     NEG = jnp.float32(_BEAM_NEG)
     cache, tokens, beam_lp, fin_tokens, fin_lp, logits = carry
+    n_fin = fin_lp.shape[1]  # = max_candidates
     # tokens: (B*K, sample_len); beam_lp: (B, K); logits: (B*K, V)
     filt = apply_filters(logits, tokens, i, cfg)  # (B*K, V)
     logprobs = jax.nn.log_softmax(filt, axis=-1)
@@ -438,7 +440,7 @@ def _beam_step(carry, i, params, dims, cfg, B, K):
         (jnp.arange(src_tokens.shape[-1]) == i)[None, None, :], eot, src_tokens
     )
     merged_tokens = jnp.concatenate([fin_tokens, cand_fin_tokens], axis=1)
-    best_fin_lp, best_fin_idx = jax.lax.top_k(merged_lp, K)
+    best_fin_lp, best_fin_idx = jax.lax.top_k(merged_lp, n_fin)
     fin_tokens = jnp.take_along_axis(merged_tokens, best_fin_idx[:, :, None], axis=1)
     fin_lp = best_fin_lp
 
@@ -473,14 +475,16 @@ def _beam_step(carry, i, params, dims, cfg, B, K):
     jax.jit,
     static_argnames=(
         "dims", "cfg", "sample_len", "prompt_len", "beam_size", "sot_index",
-        "compute_dtype", "kv_quant",
+        "compute_dtype", "kv_quant", "max_candidates",
     ),
 )
 def _beam_prefill_jit(
     params, dims, mel, prompt, cfg, sample_len, prompt_len, beam_size,
     sot_index, compute_dtype=jnp.bfloat16, kv_quant: bool = False,
+    max_candidates: Optional[int] = None,
 ):
     B, K = mel.shape[0], beam_size
+    n_fin = max_candidates or K
     audio_features = model_mod.encode_audio(
         params, dims, mel, compute_dtype=compute_dtype
     )
@@ -498,8 +502,8 @@ def _beam_prefill_jit(
         cache,
         jnp.full((B * K, sample_len), cfg.eot, jnp.int32),
         jnp.zeros((B, K), jnp.float32),
-        jnp.full((B, K, sample_len), cfg.eot, jnp.int32),
-        jnp.full((B, K), jnp.float32(_BEAM_NEG)),
+        jnp.full((B, n_fin, sample_len), cfg.eot, jnp.int32),
+        jnp.full((B, n_fin), jnp.float32(_BEAM_NEG)),
         first_logits,
     )
     return carry, probs_at_sot, audio_features
@@ -531,18 +535,22 @@ def _decode_beam_jit(
     rng: jax.Array,
     compute_dtype=jnp.bfloat16,
     chunk: int = 32,
+    patience: Optional[float] = None,
 ):
     """Chunked beam search with host-side early exit: stop dispatching once
     every audio has a full finished pool whose worst score beats the best
-    live beam (no live continuation can still enter the pool).
+    live beam (no live continuation can still enter the pool). ``patience``
+    sizes the pool: max_candidates = round(K * patience) ([pip:whisper]
+    BeamSearchDecoder).
 
-    Returns: tokens (B, 2K, sample_len) candidates, logprobs (B, 2K),
+    Returns: tokens (B, max_candidates+K, L), their logprobs,
     no_speech probs (B,), audio_features.
     """
     B, K = mel.shape[0], beam_size
+    max_candidates = max(int(round(K * (patience or 1.0))), 1)
     carry, probs_at_sot, audio_features = _beam_prefill_jit(
         params, dims, mel, prompt, cfg, sample_len, prompt_len, beam_size,
-        sot_index, compute_dtype,
+        sot_index, compute_dtype, max_candidates=max_candidates,
     )
     n_chunks = (sample_len + chunk - 1) // chunk
     for c in range(n_chunks):
@@ -700,7 +708,7 @@ def _decode_beam_host(
     K = options.beam_size
     all_tokens, all_lp, probs_at_sot, audio_features = _decode_beam_jit(
         params, dims, mel, prompt_arr, cfg, sample_len, prompt_arr.shape[1], K,
-        sot_index, rng, compute_dtype,
+        sot_index, rng, compute_dtype, patience=options.patience,
     )
     B = mel.shape[0]
     no_speech_probs = np.asarray(probs_at_sot[:, tokenizer.no_speech])

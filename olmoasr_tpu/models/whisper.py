@@ -520,25 +520,38 @@ def decode_step(
     )
     x = x + pos.astype(dtype)
 
+    on_tpu = jax.default_backend() == "tpu"
     use_pallas_cross = (
-        S == 1
-        and jax.default_backend() == "tpu"
-        and os.environ.get("OLMOASR_PALLAS_CROSS", "0") == "1"
+        S == 1 and on_tpu and os.environ.get("OLMOASR_PALLAS_CROSS", "0") == "1"
+    )
+    # pallas self-attention kernel: reads the FULL stacked rings with a
+    # scalar-prefetch layer index, avoiding XLA's per-layer xs slice copies
+    # (measured ~2.4ms/step -> ~0.3ms floor at B=32 small.en)
+    use_pallas_self = (
+        S == 1 and on_tpu and os.environ.get("OLMOASR_PALLAS_SELF", "1") == "1"
     )
 
     def block_fn(x, layer_state):
-        # self_k/self_v rings are READ-ONLY xs here; the new k/v slices are
+        # self_k/self_v rings are READ-ONLY here; the new k/v slices are
         # emitted as (tiny) ys and written into the cache once, after the scan
         # — rewriting the rings per layer forces XLA to copy the full cache
         # every step (measured 5.4 ms/step on v5e before this change).
-        lp, sk, sv, ck, cv, cks, cvs = layer_state
+        lp, sk, sv, ck, cv, cks, cvs, li = layer_state
         h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
         q = _linear(h, lp["attn_q_w"], lp["attn_q_b"])
         k_new = _linear(h, lp["attn_k_w"])
         v_new = _linear(h, lp["attn_v_w"], lp["attn_v_b"])
-        attn = _attend_cached(
-            q, sk, sv, k_new, v_new, offset, dims.n_text_head
-        )
+        if use_pallas_self:
+            from olmoasr_tpu.ops.attention import self_attend_decode
+
+            attn = self_attend_decode(
+                q, cache.self_k, cache.self_v, k_new, v_new, offset, li,
+                n_head=dims.n_text_head,
+            ).astype(x.dtype)
+        else:
+            attn = _attend_cached(
+                q, sk, sv, k_new, v_new, offset, dims.n_text_head
+            )
         x = x + _linear(attn, lp["attn_o_w"], lp["attn_o_b"])
         h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
         qc = _linear(h, lp["cross_q_w"], lp["cross_q_b"])
@@ -557,9 +570,16 @@ def decode_step(
         x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
         return x, (k_new, v_new)
 
+    L = dims.n_text_layer
     layer_xs = (
-        dec["blocks"], cache.self_k, cache.self_v, cache.cross_k,
-        cache.cross_v, cache.cross_k_scale, cache.cross_v_scale,
+        dec["blocks"],
+        # when the pallas self kernel reads the full rings directly, keep them
+        # OUT of the scan xs so XLA never materializes per-layer slices
+        None if use_pallas_self else cache.self_k,
+        None if use_pallas_self else cache.self_v,
+        cache.cross_k, cache.cross_v,
+        cache.cross_k_scale, cache.cross_v_scale,
+        jnp.arange(L, dtype=jnp.int32),
     )
     # NOTE: unrolling this layer loop (unroll=n_text_layer) made the remote
     # TPU compile exceed 30 minutes for the 32-step decode chunk; kept rolled.
