@@ -531,16 +531,30 @@ def decode_step(
         S == 1 and on_tpu and os.environ.get("OLMOASR_PALLAS_SELF", "1") == "1"
     )
 
+    # fused q/k/v projection weights: one MXU matmul instead of three small
+    # ones per layer. Scan-invariant, so XLA hoists the concat out of the
+    # decode loop.
+    D = dims.n_text_state
+    blocks = dec["blocks"]
+    qkv_w = jnp.concatenate(
+        [blocks["attn_q_w"], blocks["attn_k_w"], blocks["attn_v_w"]], axis=-1
+    )  # (L, D, 3D)
+    qkv_b = jnp.concatenate(
+        [blocks["attn_q_b"], jnp.zeros_like(blocks["attn_q_b"]), blocks["attn_v_b"]],
+        axis=-1,
+    )  # (L, 3D); the key projection has no bias (model.py:260)
+
     def block_fn(x, layer_state):
         # self_k/self_v rings are READ-ONLY here; the new k/v slices are
         # emitted as (tiny) ys and written into the cache once, after the scan
         # — rewriting the rings per layer forces XLA to copy the full cache
         # every step (measured 5.4 ms/step on v5e before this change).
-        lp, sk, sv, ck, cv, cks, cvs, li = layer_state
+        lp, wqkv, bqkv, sk, sv, ck, cv, cks, cvs, li = layer_state
         h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
-        q = _linear(h, lp["attn_q_w"], lp["attn_q_b"])
-        k_new = _linear(h, lp["attn_k_w"])
-        v_new = _linear(h, lp["attn_v_w"], lp["attn_v_b"])
+        qkv = _linear(h, wqkv, bqkv)
+        q = qkv[..., :D]
+        k_new = qkv[..., D : 2 * D]
+        v_new = qkv[..., 2 * D :]
         if use_pallas_self:
             from olmoasr_tpu.ops.attention import self_attend_decode
 
@@ -572,7 +586,7 @@ def decode_step(
 
     L = dims.n_text_layer
     layer_xs = (
-        dec["blocks"],
+        dec["blocks"], qkv_w, qkv_b,
         # when the pallas self kernel reads the full rings directly, keep them
         # OUT of the scan xs so XLA never materializes per-layer slices
         None if use_pallas_self else cache.self_k,
