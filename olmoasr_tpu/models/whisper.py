@@ -530,6 +530,10 @@ def decode_step(
     use_pallas_self = (
         S == 1 and on_tpu and os.environ.get("OLMOASR_PALLAS_SELF", "1") == "1"
     )
+    # fused LN+W1+gelu+W2+residual kernel (one launch instead of ~5/layer)
+    use_pallas_mlp = (
+        S == 1 and on_tpu and os.environ.get("OLMOASR_PALLAS_MLP", "1") == "1"
+    )
 
     # fused q/k/v projection weights: one MXU matmul instead of three small
     # ones per layer. Scan-invariant, so XLA hoists the concat out of the
@@ -578,10 +582,18 @@ def decode_step(
         else:
             cattn = cross_attend(qc, ck, cv, dims.n_text_head, cks, cvs)
         x = x + _linear(cattn, lp["cross_o_w"], lp["cross_o_b"])
-        h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
-        h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
-        h = jax.nn.gelu(h, approximate=False)
-        x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
+        if use_pallas_mlp:
+            from olmoasr_tpu.ops.attention import mlp_block
+
+            x = mlp_block(
+                x, blocks["mlp_ln_g"], blocks["mlp_ln_b"], blocks["mlp_w1"],
+                blocks["mlp_b1"], blocks["mlp_w2"], blocks["mlp_b2"], li,
+            ).astype(x.dtype)
+        else:
+            h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
+            h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
+            h = jax.nn.gelu(h, approximate=False)
+            x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
         return x, (k_new, v_new)
 
     L = dims.n_text_layer

@@ -173,6 +173,103 @@ def self_attend_decode(
     return out
 
 
+def _erf_poly(x: jax.Array) -> jax.Array:
+    """erf via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7)."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _mlp_kernel(
+    s_ref,  # scalar prefetch (1,) int32: [layer_idx]
+    x_ref,  # (B, D)
+    g_ref,  # (1, 1, D) LN gain
+    b_ref,  # (1, 1, D) LN bias
+    w1_ref,  # (1, D, F)
+    b1_ref,  # (1, 1, F)
+    w2_ref,  # (1, F, D)
+    b2_ref,  # (1, 1, D)
+    o_ref,  # (B, D)
+):
+    x = x_ref[:, :].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    h = h * g_ref[0, 0, :].astype(jnp.float32) + b_ref[0, 0, :].astype(jnp.float32)
+
+    h = jnp.dot(
+        h.astype(w1_ref.dtype), w1_ref[0, :, :], preferred_element_type=jnp.float32
+    ) + b1_ref[0, 0, :].astype(jnp.float32)
+    # exact gelu via erf. Mosaic implements neither erf nor erfc; use the
+    # Abramowitz-Stegun 7.1.26 rational approximation (|error| <= 1.5e-7,
+    # i.e. fp32 noise) built from exp, which Mosaic does support.
+    h = 0.5 * h * (1.0 + _erf_poly(h * (2.0 ** -0.5)))
+    out = jnp.dot(
+        h.astype(w2_ref.dtype), w2_ref[0, :, :], preferred_element_type=jnp.float32
+    ) + b2_ref[0, 0, :].astype(jnp.float32)
+    o_ref[:, :] = (x + out).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mlp_block(
+    x: jax.Array,  # (B, 1, D)
+    ln_g: jax.Array,  # (L, D) stacked
+    ln_b: jax.Array,
+    w1: jax.Array,  # (L, D, F)
+    b1: jax.Array,  # (L, F)
+    w2: jax.Array,  # (L, F, D)
+    b2: jax.Array,  # (L, D)
+    layer_idx: jax.Array,  # scalar int32
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused decode-step MLP: fp32 LayerNorm + W1 + exact gelu + W2 + residual
+    in ONE kernel, weights block-indexed from the stacked params by a
+    scalar-prefetch layer index (one launch instead of ~5 per layer; the
+    decode loop is launch-overhead-bound after the attention kernels)."""
+    B, S, D = x.shape
+    assert S == 1
+    L, _, F = w1.shape
+    scalars = jnp.stack([layer_idx.astype(jnp.int32)])
+
+    B_, D_ = x.shape[0], D
+    full = lambda i, s: (0, 0)
+    lay3s = lambda i, s: (s[0], 0, 0)  # singleton-middle 2-D params
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((B_, D_), full, memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((1, 1, D), lay3s, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lay3s, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, F), lay3s, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lay3s, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, D), lay3s, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lay3s, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B_, D_), full, memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _mlp_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * F * 2,
+            bytes_accessed=2 * D * F * 2,
+            transcendentals=B * F,
+        ),
+        interpret=interpret,
+    )(
+        scalars, x[:, 0, :], ln_g[:, None, :], ln_b[:, None, :], w1,
+        b1[:, None, :], w2, b2[:, None, :],
+    )
+    return out[:, None, :]
+
+
 @functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
 def cross_attend_decode(
     q: jax.Array,  # (B, 1, D)
