@@ -560,6 +560,10 @@ def decode_step(
         k_new = qkv[..., D : 2 * D]
         v_new = qkv[..., 2 * D :]
         if use_pallas_self:
+            # attention-only kernel over the full stacked rings; batched XLA
+            # projections stay outside (a fully-fused per-row block kernel
+            # measured SLOWER: 734 vs 778 RTFx — per-row matmuls underutilize
+            # the MXU and the weights re-fetch across grid rows)
             from olmoasr_tpu.ops.attention import self_attend_decode
 
             attn = self_attend_decode(

@@ -118,6 +118,146 @@ def _self_decode_kernel(
     o_ref[0, 0, :] = out.astype(o_ref.dtype)
 
 
+def _self_block_kernel(
+    s_ref,  # scalar prefetch (2,) int32: [layer_idx, offset]
+    x_ref,  # (1, 1, D) residual stream, this batch row
+    g_ref,  # (1, 1, D) attn LN gain
+    b_ref,  # (1, 1, D) attn LN bias
+    wqkv_ref,  # (1, D, 3D)
+    bqkv_ref,  # (1, 1, 3D)
+    wo_ref,  # (1, D, D)
+    bo_ref,  # (1, 1, D)
+    k_ref,  # (1, 1, C, D) ring block
+    v_ref,  # (1, 1, C, D)
+    o_ref,  # (1, 1, D) new residual stream
+    kn_ref,  # (1, 1, D) new key out
+    vn_ref,  # (1, 1, D) new value out
+    *,
+    n_head: int,
+):
+    _, _, C, D = k_ref.shape
+    dh = D // n_head
+    scale = dh ** -0.25
+    offset = s_ref[1]
+
+    x = x_ref[0, 0, :].astype(jnp.float32)
+    mean = jnp.mean(x)
+    var = jnp.mean((x - mean) ** 2)
+    h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    h = h * g_ref[0, 0, :].astype(jnp.float32) + b_ref[0, 0, :].astype(jnp.float32)
+
+    qkv = jnp.dot(
+        h[None, :].astype(wqkv_ref.dtype), wqkv_ref[0, :, :],
+        preferred_element_type=jnp.float32,
+    )[0] + bqkv_ref[0, 0, :].astype(jnp.float32)  # (3D,)
+    q = qkv[:D] * (scale * scale)
+    kn = qkv[D : 2 * D]
+    vn = qkv[2 * D :]
+    kn_ref[0, 0, :] = kn.astype(kn_ref.dtype)
+    vn_ref[0, 0, :] = vn.astype(vn_ref.dtype)
+
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 0)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
+    qm = jnp.where(d_ids // dh == h_ids, q[:, None], 0.0)  # (D, H)
+
+    k = k_ref[0, 0, :, :].astype(jnp.float32)
+    logits = jnp.dot(k, qm, preferred_element_type=jnp.float32)  # (C, H)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 0)
+    logits = jnp.where(pos < offset, logits, -jnp.inf)
+    logit_new = jnp.sum(kn[:, None] * qm, axis=0, keepdims=True)  # (1, H)
+
+    mx = jnp.maximum(jnp.max(logits, axis=0, keepdims=True), logit_new)
+    e_old = jnp.where(pos < offset, jnp.exp(logits - mx), 0.0)
+    e_new = jnp.exp(logit_new - mx)
+    denom = jnp.sum(e_old, axis=0, keepdims=True) + e_new
+    w_old = e_old / denom
+    w_new = e_new / denom
+
+    expand = jnp.where(h_ids.T == d_ids.T // dh, 1.0, 0.0)  # (H, D)
+    w_full = jnp.dot(w_old, expand, preferred_element_type=jnp.float32)  # (C, D)
+    v = v_ref[0, 0, :, :].astype(jnp.float32)
+    attn = jnp.sum(w_full * v, axis=0)
+    wn_full = jnp.dot(w_new, expand, preferred_element_type=jnp.float32)
+    attn = attn + wn_full[0] * vn
+
+    out = jnp.dot(
+        attn[None, :].astype(wo_ref.dtype), wo_ref[0, :, :],
+        preferred_element_type=jnp.float32,
+    )[0] + bo_ref[0, 0, :].astype(jnp.float32)
+    o_ref[0, 0, :] = (x + out).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def self_block_decode(
+    x: jax.Array,  # (B, 1, D) residual stream
+    ln_g: jax.Array,  # (L, D)
+    ln_b: jax.Array,
+    wqkv: jax.Array,  # (L, D, 3D)
+    bqkv: jax.Array,  # (L, 3D)
+    wo: jax.Array,  # (L, D, D)
+    bo: jax.Array,  # (L, D)
+    k_ring: jax.Array,  # (L, B, C, D)
+    v_ring: jax.Array,
+    offset: jax.Array,
+    layer_idx: jax.Array,
+    *,
+    n_head: int,
+    interpret: bool = False,
+):
+    """Whole decode-step self-attention sub-block in ONE kernel per layer:
+    fp32 LN + fused QKV matmul + online-softmax attention over the read-only
+    ring + output projection + residual. Weight blocks are grid-constant, so
+    Mosaic fetches them once across the B grid steps; ring blocks stream
+    per row. Returns (new_x, k_new, v_new)."""
+    B, S, D = x.shape
+    assert S == 1
+    L, _, C, _ = k_ring.shape
+    scalars = jnp.stack([layer_idx.astype(jnp.int32), offset.astype(jnp.int32)])
+
+    row3 = lambda b, s: (b, 0, 0)
+    lay3 = lambda b, s: (s[0], 0, 0)
+    ring = lambda b, s: (s[0], b, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), row3, memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, 3 * D), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3 * D), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, D), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C, D), ring, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C, D), ring, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, D), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), row3, memory_space=pltpu.VMEM),
+        ),
+    )
+    new_x, k_new, v_new = pl.pallas_call(
+        functools.partial(_self_block_kernel, n_head=n_head),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+            jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+            jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * (4 * D + 2 * C),
+            bytes_accessed=B * 2 * C * D * 2 + 4 * D * D * 2,
+            transcendentals=B * C * n_head,
+        ),
+        interpret=interpret,
+    )(
+        scalars, x, ln_g[:, None, :], ln_b[:, None, :], wqkv, bqkv[:, None, :],
+        wo, bo[:, None, :], k_ring, v_ring,
+    )
+    return new_x, k_new, v_new
+
+
 @functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
 def self_attend_decode(
     q: jax.Array,  # (B, 1, D)

@@ -71,6 +71,43 @@ class MetricsLogger:
         if self.wandb is not None:
             self.wandb.log(metrics, step=step)
 
+    def log_table(
+        self,
+        name: str,
+        columns: list,
+        rows: list,
+        step: Optional[int] = None,
+        audio_cols: Optional[list] = None,
+    ):
+        """Example tables (train/val/eval) with optional embedded audio —
+        the reference's rich wandb tables (train_timestamps.py:1199-1277).
+        Rows with numpy audio in ``audio_cols`` are wrapped as wandb.Audio;
+        offline they are logged as JSONL without the waveforms."""
+        if self.wandb is not None:
+            try:
+                import wandb
+
+                wrapped = []
+                for row in rows:
+                    out = []
+                    for col, val in zip(columns, row):
+                        if audio_cols and col in audio_cols and val is not None:
+                            out.append(wandb.Audio(val, sample_rate=16000))
+                        else:
+                            out.append(val)
+                    wrapped.append(out)
+                self.wandb.log(
+                    {name: wandb.Table(columns=columns, data=wrapped)}, step=step
+                )
+                return
+            except Exception:
+                pass
+        slim = [
+            [v for c, v in zip(columns, row) if not (audio_cols and c in audio_cols)]
+            for row in rows
+        ]
+        self.log({f"table/{name}": {"columns": columns, "rows": slim}}, step=step)
+
     def alert(self, title: str, text: str):
         """NaN-loss style alerts (train_timestamps.py:1484-1490)."""
         self.log({"alert": title, "alert_text": text})

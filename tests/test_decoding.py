@@ -180,3 +180,30 @@ def test_compression_ratio():
     rep = decoding.compression_ratio("hello hello hello hello hello hello")
     uniq = decoding.compression_ratio("the quick brown fox jumps over lazy dog")
     assert rep > uniq
+
+
+def test_beam_patience_pool(params, mel):
+    """patience > 1 keeps a larger finished pool (max_candidates = K*patience)."""
+    opts = decoding.DecodingOptions(
+        language="en", without_timestamps=True, sample_len=6, beam_size=2,
+        patience=2.0, fp16=False,
+    )
+    results = decoding.decode(params, DIMS, mel, opts)
+    assert len(results) == 2
+    for r in results:
+        assert np.isfinite(r.avg_logprob)
+
+
+def test_logger_table(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from olmoasr_tpu.training.logging_utils import MetricsLogger, TRAIN_TABLE_COLS
+
+    lg = MetricsLogger("t", log_dir=str(tmp_path), use_wandb=False)
+    lg.log_table(
+        "train_examples", ["step", "audio", "pred"],
+        [[1, np.zeros(100, np.float32), "hi"]], step=1, audio_cols=["audio"],
+    )
+    lg.close()
+    content = (tmp_path / "t_metrics.jsonl").read_text()
+    assert "train_examples" in content and "hi" in content
+    assert len(TRAIN_TABLE_COLS) == 8
