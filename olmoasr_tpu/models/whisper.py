@@ -554,29 +554,45 @@ def decode_step(
         # — rewriting the rings per layer forces XLA to copy the full cache
         # every step (measured 5.4 ms/step on v5e before this change).
         lp, wqkv, bqkv, sk, sv, ck, cv, cks, cvs, li = layer_state
-        h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
-        qkv = _linear(h, wqkv, bqkv)
-        q = qkv[..., :D]
-        k_new = qkv[..., D : 2 * D]
-        v_new = qkv[..., 2 * D :]
         if use_pallas_self:
-            # attention-only kernel over the full stacked rings; batched XLA
-            # projections stay outside (a fully-fused per-row block kernel
-            # measured SLOWER: 734 vs 778 RTFx — per-row matmuls underutilize
-            # the MXU and the weights re-fetch across grid rows)
-            from olmoasr_tpu.ops.attention import self_attend_decode
+            from olmoasr_tpu.ops.attention import (
+                ln_matmul,
+                matmul_residual,
+                self_attend_decode,
+            )
 
+            # batched fused LN+QKV (one launch; same grid=(1,) pattern as
+            # mlp_block — per-ROW fusion measured slower, 734 vs 778 RTFx)
+            qkv = ln_matmul(
+                x, blocks["attn_ln_g"], blocks["attn_ln_b"], qkv_w, qkv_b, li
+            )
+            q = qkv[..., :D]
+            k_new = qkv[..., D : 2 * D]
+            v_new = qkv[..., 2 * D :]
+            # attention-only kernel over the full stacked rings
             attn = self_attend_decode(
                 q, cache.self_k, cache.self_v, k_new, v_new, offset, li,
                 n_head=dims.n_text_head,
             ).astype(x.dtype)
+            x = matmul_residual(attn, x, blocks["attn_o_w"], blocks["attn_o_b"], li)
+            qc = ln_matmul(
+                x, blocks["cross_ln_g"], blocks["cross_ln_b"],
+                blocks["cross_q_w"], blocks["cross_q_b"], li,
+            )
         else:
+            h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
+            qkv = _linear(h, wqkv, bqkv)
+            q = qkv[..., :D]
+            k_new = qkv[..., D : 2 * D]
+            v_new = qkv[..., 2 * D :]
             attn = _attend_cached(
                 q, sk, sv, k_new, v_new, offset, dims.n_text_head
             )
-        x = x + _linear(attn, lp["attn_o_w"], lp["attn_o_b"])
-        h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
-        qc = _linear(h, lp["cross_q_w"], lp["cross_q_b"])
+            x = x + _linear(attn, lp["attn_o_w"], lp["attn_o_b"])
+            qc = _linear(
+                layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"]),
+                lp["cross_q_w"], lp["cross_q_b"],
+            )
         if use_pallas_cross:
             from olmoasr_tpu.ops.attention import cross_attend_decode
 
@@ -585,7 +601,15 @@ def decode_step(
             ).astype(x.dtype)
         else:
             cattn = cross_attend(qc, ck, cv, dims.n_text_head, cks, cvs)
-        x = x + _linear(cattn, lp["cross_o_w"], lp["cross_o_b"])
+        if use_pallas_self:
+            from olmoasr_tpu.ops.attention import matmul_residual
+
+            x = matmul_residual(
+                cattn.astype(x.dtype), x, blocks["cross_o_w"],
+                blocks["cross_o_b"], li,
+            )
+        else:
+            x = x + _linear(cattn, lp["cross_o_w"], lp["cross_o_b"])
         if use_pallas_mlp:
             from olmoasr_tpu.ops.attention import mlp_block
 

@@ -118,6 +118,123 @@ def _self_decode_kernel(
     o_ref[0, 0, :] = out.astype(o_ref.dtype)
 
 
+def _ln_matmul_kernel(
+    s_ref,  # (1,) int32: [layer_idx]
+    x_ref,  # (B, D)
+    g_ref,  # (1, 1, D)
+    b_ref,  # (1, 1, D)
+    w_ref,  # (1, D, N)
+    wb_ref,  # (1, 1, N)
+    o_ref,  # (B, N)
+):
+    x = x_ref[:, :].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    h = h * g_ref[0, 0, :].astype(jnp.float32) + b_ref[0, 0, :].astype(jnp.float32)
+    out = jnp.dot(
+        h.astype(w_ref.dtype), w_ref[0, :, :], preferred_element_type=jnp.float32
+    ) + wb_ref[0, 0, :].astype(jnp.float32)
+    o_ref[:, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ln_matmul(
+    x: jax.Array,  # (B, 1, D)
+    ln_g: jax.Array,  # (L, D)
+    ln_b: jax.Array,
+    w: jax.Array,  # (L, D, N)
+    b: jax.Array,  # (L, N)
+    layer_idx: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused fp32 LayerNorm + batched matmul (one launch; same grid=(1,)
+    batched pattern as mlp_block, which beat per-row fusion)."""
+    B, S, D = x.shape
+    assert S == 1
+    L, _, N = w.shape
+    scalars = jnp.stack([layer_idx.astype(jnp.int32)])
+    full = lambda i, s: (0, 0)
+    lay3 = lambda i, s: (s[0], 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((B, D), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, N), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lay3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, N), full, memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _ln_matmul_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * N, bytes_accessed=D * N * 2, transcendentals=0
+        ),
+        interpret=interpret,
+    )(scalars, x[:, 0, :], ln_g[:, None, :], ln_b[:, None, :], w, b[:, None, :])
+    return out[:, None, :]
+
+
+def _matmul_residual_kernel(
+    s_ref,  # (1,) int32: [layer_idx]
+    a_ref,  # (B, D) attention output
+    x_ref,  # (B, D) residual stream
+    w_ref,  # (1, D, D)
+    wb_ref,  # (1, 1, D)
+    o_ref,  # (B, D)
+):
+    out = jnp.dot(
+        a_ref[:, :].astype(w_ref.dtype), w_ref[0, :, :],
+        preferred_element_type=jnp.float32,
+    ) + wb_ref[0, 0, :].astype(jnp.float32)
+    o_ref[:, :] = (x_ref[:, :].astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def matmul_residual(
+    attn: jax.Array,  # (B, 1, D)
+    x: jax.Array,  # (B, 1, D)
+    w: jax.Array,  # (L, D, D)
+    b: jax.Array,  # (L, D)
+    layer_idx: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused output projection + residual add (one launch)."""
+    B, S, D = attn.shape
+    assert S == 1
+    scalars = jnp.stack([layer_idx.astype(jnp.int32)])
+    full = lambda i, s: (0, 0)
+    lay3 = lambda i, s: (s[0], 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((B, D), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, D), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, D), full, memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _matmul_residual_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, D), attn.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * D, bytes_accessed=D * D * 2, transcendentals=0
+        ),
+        interpret=interpret,
+    )(scalars, attn[:, 0, :], x[:, 0, :], w, b[:, None, :])
+    return out[:, None, :]
+
+
 def _self_block_kernel(
     s_ref,  # scalar prefetch (2,) int32: [layer_idx, offset]
     x_ref,  # (1, 1, D) residual stream, this batch row
