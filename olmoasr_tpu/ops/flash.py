@@ -58,11 +58,20 @@ def flash_self_attention(
         ids = (jnp.arange(T_pad) < T).astype(jnp.int32)[None, :].repeat(B, 0)
         seg = SegmentIds(q=ids, kv=ids)
 
+    # NOTE: measured SLOWER than XLA's fused attention on v5e for the whisper
+    # encoder shape (B=32, T=1536, H=12, dh=64) with both default and 512
+    # blocks — kept opt-in (OLMOASR_FLASH=1) pending further block tuning.
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    block = min(512, T_pad)
     out = flash_attention(
         qh, kh, vh,
         segment_ids=seg,
         causal=causal,
         sm_scale=dh ** -0.5,
+        block_sizes=BlockSizes(
+            block_q=block, block_k_major=block, block_k=block, block_b=1
+        ),
     )  # (B, H, T_pad, dh)
     out = out.transpose(0, 2, 1, 3).reshape(B, T_pad, D)
     return out[:, :T, :]

@@ -80,3 +80,35 @@ def test_np_and_jax_agree():
     a = audio.log_mel_spectrogram_np(wav)
     b = np.asarray(audio.log_mel_spectrogram(wav))
     np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3)
+
+
+def test_load_audio_wav_formats(tmp_path):
+    import scipy.io.wavfile as wavfile
+
+    rng = np.random.default_rng(0)
+    f32 = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+
+    # int16 mono
+    p = str(tmp_path / "i16.wav")
+    wavfile.write(p, 16000, (f32 * 32767).astype(np.int16))
+    out = audio.load_audio(p)
+    assert out.dtype == np.float32 and len(out) == 16000
+    np.testing.assert_allclose(out, f32, atol=2e-3)
+
+    # stereo int16 -> mono mean
+    p2 = str(tmp_path / "st.wav")
+    wavfile.write(p2, 16000, np.stack([(f32 * 32767).astype(np.int16)] * 2, 1))
+    out2 = audio.load_audio(p2)
+    assert out2.ndim == 1
+
+    # 8 kHz input -> resampled to 16 kHz
+    p3 = str(tmp_path / "sr8.wav")
+    wavfile.write(p3, 8000, (f32[:8000] * 32767).astype(np.int16))
+    out3 = audio.load_audio(p3)
+    assert len(out3) == 16000
+
+    # npy int16 path (training data format)
+    p4 = str(tmp_path / "a.npy")
+    np.save(p4, (f32 * 32767).astype(np.int16))
+    out4 = audio.load_audio(p4)
+    np.testing.assert_allclose(out4, f32, atol=2e-3)
