@@ -39,7 +39,7 @@ def bench_train():
 
     variant = os.environ.get("OLMOASR_BENCH_VARIANT", "medium.en")
     micro_bs = int(os.environ.get("OLMOASR_BENCH_BATCH", "8"))
-    iters = int(os.environ.get("OLMOASR_BENCH_ITERS", "3"))
+    iters = int(os.environ.get("OLMOASR_BENCH_ITERS", "5"))
 
     dims = VARIANT_TO_DIMS[variant]
     mesh = mesh_mod.make_mesh(len(jax.devices()), 1)
@@ -98,7 +98,7 @@ def main():
     variant = os.environ.get("OLMOASR_BENCH_VARIANT", "small.en")
     batch = int(os.environ.get("OLMOASR_BENCH_BATCH", "32"))
     sample_len = int(os.environ.get("OLMOASR_BENCH_SAMPLE_LEN", "224"))
-    iters = int(os.environ.get("OLMOASR_BENCH_ITERS", "3"))
+    iters = int(os.environ.get("OLMOASR_BENCH_ITERS", "5"))
     kv_quant = os.environ.get("OLMOASR_BENCH_KV_QUANT", "1") == "1"
 
     dims = VARIANT_TO_DIMS[variant]
