@@ -307,6 +307,9 @@ def _decode_prefill_jit(
     audio_features = model_mod.encode_audio(
         params, dims, mel, compute_dtype=compute_dtype
     )
+    # self rings stay bf16: int8-quantizing them measured SLOWER (715 vs 782
+    # RTFx — per-step quantization + scale-ring traffic outweighs the small
+    # ring-read saving); the capability stays in init_cache/the kernel.
     cache = model_mod.init_cache(
         params, dims, audio_features, max_len=prompt_len + sample_len,
         quantize_cross=kv_quant,

@@ -377,13 +377,15 @@ class KVCache(NamedTuple):
         out = (w * vs) @ v_int8
     """
 
-    self_k: jax.Array
+    self_k: jax.Array  # bf16/f32, or int8 when quantize_self
     self_v: jax.Array
     cross_k: jax.Array  # bf16/f32, or int8 when quantized
     cross_v: jax.Array
     index: jax.Array  # scalar int32
     cross_k_scale: Optional[jax.Array] = None  # (L, B, 1500) f32 when int8
     cross_v_scale: Optional[jax.Array] = None
+    self_k_scale: Optional[jax.Array] = None  # (L, B, 1, C) f32 when int8
+    self_v_scale: Optional[jax.Array] = None
 
 
 def _quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -403,6 +405,7 @@ def init_cache(
     max_len: Optional[int] = None,
     *,
     quantize_cross: bool = False,
+    quantize_self: bool = False,
 ) -> KVCache:
     """Allocate the cache and precompute per-layer cross-attention k/v."""
     dec = params["decoder"]
@@ -422,14 +425,21 @@ def init_cache(
     if quantize_cross:
         cross_k, ck_scale = _quantize_rows(cross_k)
         cross_v, cv_scale = _quantize_rows(cross_v)
+    self_dtype = jnp.int8 if quantize_self else dtype
+    sk_scale = sv_scale = None
+    if quantize_self:
+        sk_scale = jnp.zeros((L, B, 1, n_ctx), jnp.float32)
+        sv_scale = jnp.zeros((L, B, 1, n_ctx), jnp.float32)
     return KVCache(
-        self_k=jnp.zeros((L, B, n_ctx, D), dtype),
-        self_v=jnp.zeros((L, B, n_ctx, D), dtype),
+        self_k=jnp.zeros((L, B, n_ctx, D), self_dtype),
+        self_v=jnp.zeros((L, B, n_ctx, D), self_dtype),
         cross_k=cross_k,
         cross_v=cross_v,
         index=jnp.zeros((), jnp.int32),
         cross_k_scale=ck_scale,
         cross_v_scale=cv_scale,
+        self_k_scale=sk_scale,
+        self_v_scale=sv_scale,
     )
 
 
@@ -510,7 +520,9 @@ def decode_step(
     """
     dec = params["decoder"]
     B, S = tokens.shape
-    dtype = cache.self_k.dtype  # cross_k may be int8 when quantized
+    self_quant = cache.self_k_scale is not None
+    # activation dtype: the ring dtype unless the rings are int8-quantized
+    dtype = dec["token_embedding"].dtype if self_quant else cache.self_k.dtype
     n_ctx = cache.self_k.shape[2]
     offset = cache.index
 
@@ -553,7 +565,7 @@ def decode_step(
         # emitted as (tiny) ys and written into the cache once, after the scan
         # — rewriting the rings per layer forces XLA to copy the full cache
         # every step (measured 5.4 ms/step on v5e before this change).
-        lp, wqkv, bqkv, sk, sv, ck, cv, cks, cvs, li = layer_state
+        lp, wqkv, bqkv, sk, sv, sks, svs, ck, cv, cks, cvs, li = layer_state
         if use_pallas_self:
             from olmoasr_tpu.ops.attention import (
                 ln_matmul,
@@ -572,6 +584,7 @@ def decode_step(
             # attention-only kernel over the full stacked rings
             attn = self_attend_decode(
                 q, cache.self_k, cache.self_v, k_new, v_new, offset, li,
+                cache.self_k_scale, cache.self_v_scale,
                 n_head=dims.n_text_head,
             ).astype(x.dtype)
             x = matmul_residual(attn, x, blocks["attn_o_w"], blocks["attn_o_b"], li)
@@ -585,6 +598,13 @@ def decode_step(
             q = qkv[..., :D]
             k_new = qkv[..., D : 2 * D]
             v_new = qkv[..., 2 * D :]
+            if self_quant:
+                # dequantize the ring slices for the XLA path (prefill or
+                # kernel-disabled); sks/svs are (B, 1, C) per-position scales
+                sk = sk.astype(jnp.float32) * sks.transpose(0, 2, 1)
+                sv = sv.astype(jnp.float32) * svs.transpose(0, 2, 1)
+                sk = sk.astype(x.dtype)
+                sv = sv.astype(x.dtype)
             attn = _attend_cached(
                 q, sk, sv, k_new, v_new, offset, dims.n_text_head
             )
@@ -631,6 +651,8 @@ def decode_step(
         # OUT of the scan xs so XLA never materializes per-layer slices
         None if use_pallas_self else cache.self_k,
         None if use_pallas_self else cache.self_v,
+        None if use_pallas_self else cache.self_k_scale,
+        None if use_pallas_self else cache.self_v_scale,
         cache.cross_k, cache.cross_v,
         cache.cross_k_scale, cache.cross_v_scale,
         jnp.arange(L, dtype=jnp.int32),
@@ -639,13 +661,23 @@ def decode_step(
     # TPU compile exceed 30 minutes for the 32-step decode chunk; kept rolled.
     x, (ys_k, ys_v) = jax.lax.scan(block_fn, x, layer_xs)
     # single small write: (L, B, S, D) into the (L, B, C, D) rings
+    new_sks, new_svs = cache.self_k_scale, cache.self_v_scale
+    if self_quant:
+        ys_k, k_sc = _quantize_rows(ys_k)  # (L,B,S,D) int8 + (L,B,S)
+        ys_v, v_sc = _quantize_rows(ys_v)
+        new_sks = jax.lax.dynamic_update_slice_in_dim(
+            new_sks, k_sc[:, :, None, :], offset, axis=3
+        )
+        new_svs = jax.lax.dynamic_update_slice_in_dim(
+            new_svs, v_sc[:, :, None, :], offset, axis=3
+        )
     new_sk = jax.lax.dynamic_update_slice_in_dim(cache.self_k, ys_k, offset, axis=2)
     new_sv = jax.lax.dynamic_update_slice_in_dim(cache.self_v, ys_v, offset, axis=2)
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
     logits = (x @ dec["token_embedding"].astype(x.dtype).T).astype(jnp.float32)
     new_cache = KVCache(
         new_sk, new_sv, cache.cross_k, cache.cross_v, offset + S,
-        cache.cross_k_scale, cache.cross_v_scale,
+        cache.cross_k_scale, cache.cross_v_scale, new_sks, new_svs,
     )
     return logits, new_cache
 

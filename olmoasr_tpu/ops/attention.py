@@ -71,17 +71,11 @@ def _cross_decode_kernel(
     o_ref[0, 0, :] = jnp.sum(w_full * v, axis=0).astype(o_ref.dtype)
 
 
-def _self_decode_kernel(
-    s_ref,  # scalar prefetch (2,) int32: [layer_idx, offset]
-    q_ref,  # (1, 1, D)
-    kn_ref,  # (1, 1, D) this step's key
-    vn_ref,  # (1, 1, D) this step's value
-    k_ref,  # (1, 1, C, D) — this layer's ring block (positions < offset valid)
-    v_ref,  # (1, 1, C, D)
-    o_ref,  # (1, 1, D)
-    *,
-    n_head: int,
+def _self_decode_body(
+    s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, ks_ref, vs_ref, n_head
 ):
+    """Shared body; ks_ref/vs_ref are (1, 1, 1, C) per-position int8 scales or
+    None for bf16 rings."""
     _, _, C, D = k_ref.shape
     dh = D // n_head
     scale = dh ** -0.25
@@ -94,6 +88,8 @@ def _self_decode_kernel(
 
     k = k_ref[0, 0, :, :].astype(jnp.float32)
     logits = jnp.dot(k, qm, preferred_element_type=jnp.float32)  # (C, H)
+    if ks_ref is not None:
+        logits = logits * ks_ref[0, 0, 0, :][:, None]  # per-position int8 scale
     pos = jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 0)
     logits = jnp.where(pos < offset, logits, -jnp.inf)
     # this step's own key (position == offset, always visible to its query)
@@ -111,11 +107,27 @@ def _self_decode_kernel(
 
     expand = jnp.where(h_ids.T == d_ids.T // dh, 1.0, 0.0)  # (H, D)
     w_full = jnp.dot(w_old, expand, preferred_element_type=jnp.float32)  # (C, D)
+    if vs_ref is not None:
+        w_full = w_full * vs_ref[0, 0, 0, :][:, None]  # fold v scale
     v = v_ref[0, 0, :, :].astype(jnp.float32)
     out = jnp.sum(w_full * v, axis=0)  # (D,)
     wn_full = jnp.dot(w_new, expand, preferred_element_type=jnp.float32)  # (1, D)
     out = out + wn_full[0] * vn_ref[0, 0, :].astype(jnp.float32)
     o_ref[0, 0, :] = out.astype(o_ref.dtype)
+
+
+def _self_decode_kernel(s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
+                        *, n_head: int):
+    _self_decode_body(
+        s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, None, None, n_head
+    )
+
+
+def _self_decode_kernel_q8(s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
+                           ks_ref, vs_ref, o_ref, *, n_head: int):
+    _self_decode_body(
+        s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, ks_ref, vs_ref, n_head
+    )
 
 
 def _ln_matmul_kernel(
@@ -384,6 +396,8 @@ def self_attend_decode(
     v_new: jax.Array,
     offset: jax.Array,  # scalar int32
     layer_idx: jax.Array,  # scalar int32
+    k_scale: Optional[jax.Array] = None,  # (L, B, 1, C) f32 when rings are int8
+    v_scale: Optional[jax.Array] = None,
     *,
     n_head: int,
     interpret: bool = False,
@@ -395,7 +409,8 @@ def self_attend_decode(
     scalar prefetch — inside the decode layer-scan this avoids XLA
     materializing per-layer ring slices (measured ~2.4ms/step at B=32 small.en
     vs the ~0.3ms bandwidth floor): the ring bytes stream HBM->VMEM exactly
-    once. Numerically an online-softmax of models.whisper._attend_cached.
+    once (int8 bytes when the rings are quantized). Numerically an
+    online-softmax of models.whisper._attend_cached.
     """
     B, S, D = q.shape
     assert S == 1
@@ -404,29 +419,44 @@ def self_attend_decode(
 
     row = lambda b, s: (b, 0, 0)
     ring = lambda b, s: (s[0], b, 0, 0)
+    ring4 = lambda b, s: (s[0], b, 0, 0)
+    quantized = k_scale is not None
+    in_specs = [
+        pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, C, D), ring, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, C, D), ring, memory_space=pltpu.VMEM),
+    ]
+    operands = [scalars, q, k_new, v_new, k_ring, v_ring]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, C), ring4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, C), ring4, memory_space=pltpu.VMEM),
+        ]
+        operands += [k_scale, v_scale]
+        kernel = functools.partial(_self_decode_kernel_q8, n_head=n_head)
+    else:
+        kernel = functools.partial(_self_decode_kernel, n_head=n_head)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C, D), ring, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C, D), ring, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
     )
+    kv_bytes = C * D * (1 if quantized else 2)
     out = pl.pallas_call(
-        functools.partial(_self_decode_kernel, n_head=n_head),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 1, D), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * C * D * 2,
-            bytes_accessed=B * 2 * C * D * 2,
+            bytes_accessed=B * 2 * kv_bytes,
             transcendentals=B * C * n_head,
         ),
         interpret=interpret,
-    )(scalars, q, k_new, v_new, k_ring, v_ring)
+    )(*operands)
     return out
 
 

@@ -155,3 +155,25 @@ def test_kv_quant_cache_close_to_full(tiny_params):
     assert bool(
         jnp.all(jnp.argmax(logits_pre, -1) == jnp.argmax(full, -1))
     )
+
+
+def test_self_ring_quantization(tiny_params):
+    """int8 self rings (optional; off by default in the decode path) stay
+    close to the exact forward."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(2)
+    mel = jax.random.normal(key, (2, TINY_DIMS.n_mels, TINY_DIMS.n_audio_ctx * 2))
+    audio = m.encode_audio(tiny_params, TINY_DIMS, mel, compute_dtype=jnp.float32)
+    toks = jax.random.randint(key, (2, 8), 0, TINY_DIMS.n_vocab)
+    full = m.decode_train(tiny_params, TINY_DIMS, toks, audio)
+    cache = m.init_cache(
+        tiny_params, TINY_DIMS, audio, max_len=16,
+        quantize_cross=True, quantize_self=True,
+    )
+    assert cache.self_k.dtype == jnp.int8
+    logits, cache = m.decode_step(tiny_params, TINY_DIMS, toks[:, :4], cache)
+    for i in range(4, 8):
+        logits, cache = m.decode_step(tiny_params, TINY_DIMS, toks[:, i:i+1], cache)
+        assert bool(jnp.all(jnp.argmax(logits[:, 0], -1) == jnp.argmax(full[:, i], -1)))
