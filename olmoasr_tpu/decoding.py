@@ -244,8 +244,11 @@ def apply_filters(
     ts_logprob = jax.nn.logsumexp(
         jnp.where(is_ts[None, :], logprobs, -jnp.inf), axis=-1
     )
+    # max over ALL non-timestamp ids (incl. eot): [pip:whisper]
+    # ApplyTimestampRules uses logprobs[: timestamp_begin].max(), so EOT can
+    # win and end the segment instead of forcing a timestamp.
     max_text_logprob = jnp.max(
-        jnp.where(is_text[None, :], logprobs, -jnp.inf), axis=-1
+        jnp.where(non_ts[None, :], logprobs, -jnp.inf), axis=-1
     )
     force_ts = ts_logprob > max_text_logprob
     logits = jnp.where(force_ts[:, None] & ~is_ts[None, :], -jnp.inf, logits)
@@ -539,6 +542,7 @@ def _decode_beam_jit(
     compute_dtype=jnp.bfloat16,
     chunk: int = 32,
     patience: Optional[float] = None,
+    kv_quant: bool = False,
 ):
     """Chunked beam search with host-side early exit: stop dispatching once
     every audio has a full finished pool whose worst score beats the best
@@ -553,7 +557,7 @@ def _decode_beam_jit(
     max_candidates = max(int(round(K * (patience or 1.0))), 1)
     carry, probs_at_sot, audio_features = _beam_prefill_jit(
         params, dims, mel, prompt, cfg, sample_len, prompt_len, beam_size,
-        sot_index, compute_dtype, max_candidates=max_candidates,
+        sot_index, compute_dtype, kv_quant=kv_quant, max_candidates=max_candidates,
     )
     n_chunks = (sample_len + chunk - 1) // chunk
     for c in range(n_chunks):
@@ -648,12 +652,28 @@ def decode(
         compute_dtype = jnp.bfloat16 if options.fp16 else jnp.float32
 
     language = options.language or "en"
-    tokenizer = get_tokenizer(multilingual=False, language=language, task=options.task)
+    # multilingual checkpoints have >= 51865 tokens (language + task specials);
+    # derive from the vocab like [pip:whisper] ModelDimensions-based dispatch.
+    multilingual = dims.n_vocab >= 51865
+    num_languages = dims.n_vocab - 51765 if multilingual else 99
+    tokenizer = get_tokenizer(
+        multilingual=multilingual, num_languages=num_languages,
+        language=language, task=options.task,
+    )
 
     n_ctx = dims.n_text_ctx
     sample_len = options.sample_len or n_ctx // 2
 
     prompt = _resolve_prompt(tokenizer, options)
+    # positional-embedding guard: the reference breaks its loop when
+    # prompt+samples exceed n_ctx (whisper GreedyDecoder / inf_model n_ctx);
+    # our dynamic_slice would silently clamp, so cap sample_len instead.
+    sample_len = min(sample_len, n_ctx - len(prompt))
+    if sample_len <= 0:
+        raise ValueError(
+            f"prompt length {len(prompt)} leaves no room to sample "
+            f"(n_text_ctx={n_ctx})"
+        )
     sot_index = prompt.index(tokenizer.sot)
     prompt_arr = jnp.asarray([prompt] * mel.shape[0], jnp.int32)
 
@@ -712,6 +732,7 @@ def _decode_beam_host(
     all_tokens, all_lp, probs_at_sot, audio_features = _decode_beam_jit(
         params, dims, mel, prompt_arr, cfg, sample_len, prompt_arr.shape[1], K,
         sot_index, rng, compute_dtype, patience=options.patience,
+        kv_quant=options.kv_quant,
     )
     B = mel.shape[0]
     no_speech_probs = np.asarray(probs_at_sot[:, tokenizer.no_speech])

@@ -122,10 +122,13 @@ def find_alignment(
     audio_features = model.embed_audio(mel[None])
     logits = model_mod.decode_train(model.params, model.dims, tokens, audio_features)
     logits = np.asarray(logits[0])  # (T, V)
-    sampled_logits = logits[sample_begin - 1 : -1, : tokenizer.eot + 1]
+    # columns [: eot] (EOT excluded from the softmax), matching
+    # [pip:whisper] timing.find_alignment — including EOT deflates word
+    # probabilities and perturbs the anomaly heuristics.
+    sampled_logits = logits[sample_begin - 1 : -1, : tokenizer.eot]
     token_probs = _softmax(sampled_logits, axis=-1)
-    text_token_probs = token_probs[np.arange(len(text_tokens) + 1),
-                                   np.array(text_tokens + [tokenizer.eot])][:-1]
+    text_token_probs = token_probs[np.arange(len(text_tokens)),
+                                   np.array(text_tokens)]
 
     weights_all = model_mod.cross_attention_weights(
         model.params, model.dims, tokens, audio_features
