@@ -536,6 +536,16 @@ def decode_step(
     use_pallas_cross = (
         S == 1 and on_tpu and os.environ.get("OLMOASR_PALLAS_CROSS", "0") == "1"
     )
+    # fused cross sub-block megakernel (LN + q proj + int8 attention + out
+    # proj + residual in ONE launch; streams int8 K/V bytes instead of the
+    # XLA path's bf16-sized traffic)
+    use_pallas_cross_block = (
+        S == 1
+        and on_tpu
+        and os.environ.get("OLMOASR_PALLAS_CROSS_BLOCK", "1") == "1"
+    )
+    if use_pallas_cross_block:
+        use_pallas_cross = False
     # pallas self-attention kernel: reads the FULL stacked rings with a
     # scalar-prefetch layer index, avoiding XLA's per-layer xs slice copies
     # (measured ~2.4ms/step -> ~0.3ms floor at B=32 small.en)
@@ -588,10 +598,11 @@ def decode_step(
                 n_head=dims.n_text_head,
             ).astype(x.dtype)
             x = matmul_residual(attn, x, blocks["attn_o_w"], blocks["attn_o_b"], li)
-            qc = ln_matmul(
-                x, blocks["cross_ln_g"], blocks["cross_ln_b"],
-                blocks["cross_q_w"], blocks["cross_q_b"], li,
-            )
+            if not use_pallas_cross_block:
+                qc = ln_matmul(
+                    x, blocks["cross_ln_g"], blocks["cross_ln_b"],
+                    blocks["cross_q_w"], blocks["cross_q_b"], li,
+                )
         else:
             h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
             qkv = _linear(h, wqkv, bqkv)
@@ -609,11 +620,22 @@ def decode_step(
                 q, sk, sv, k_new, v_new, offset, dims.n_text_head
             )
             x = x + _linear(attn, lp["attn_o_w"], lp["attn_o_b"])
-            qc = _linear(
-                layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"]),
-                lp["cross_q_w"], lp["cross_q_b"],
+            if not use_pallas_cross_block:
+                qc = _linear(
+                    layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"]),
+                    lp["cross_q_w"], lp["cross_q_b"],
+                )
+        if use_pallas_cross_block:
+            from olmoasr_tpu.ops.attention import cross_block_decode
+
+            x = cross_block_decode(
+                x, blocks["cross_ln_g"], blocks["cross_ln_b"],
+                blocks["cross_q_w"], blocks["cross_q_b"],
+                blocks["cross_o_w"], blocks["cross_o_b"],
+                cache.cross_k, cache.cross_v, cross_ks, cross_vs, li,
+                n_head=dims.n_text_head,
             )
-        if use_pallas_cross:
+        elif use_pallas_cross:
             from olmoasr_tpu.ops.attention import cross_attend_decode
 
             cattn = cross_attend_decode(
@@ -621,7 +643,9 @@ def decode_step(
             ).astype(x.dtype)
         else:
             cattn = cross_attend(qc, ck, cv, dims.n_text_head, cks, cvs)
-        if use_pallas_self:
+        if use_pallas_cross_block:
+            pass  # out proj + residual fused into cross_block_decode
+        elif use_pallas_self:
             from olmoasr_tpu.ops.attention import matmul_residual
 
             x = matmul_residual(
@@ -645,6 +669,12 @@ def decode_step(
         return x, (k_new, v_new)
 
     L = dims.n_text_layer
+    cross_ks, cross_vs = cache.cross_k_scale, cache.cross_v_scale
+    if use_pallas_cross_block and cross_ks is None:
+        # the megakernel folds per-key scales unconditionally; bf16 caches
+        # use ones (negligible extra read: (L, B, T) f32)
+        cross_ks = jnp.ones(cache.cross_k.shape[:3], jnp.float32)
+        cross_vs = cross_ks
     layer_xs = (
         dec["blocks"], qkv_w, qkv_b,
         # when the pallas self kernel reads the full rings directly, keep them
@@ -653,8 +683,12 @@ def decode_step(
         None if use_pallas_self else cache.self_v,
         None if use_pallas_self else cache.self_k_scale,
         None if use_pallas_self else cache.self_v_scale,
-        cache.cross_k, cache.cross_v,
-        cache.cross_k_scale, cache.cross_v_scale,
+        # same for the cross cache when the fused cross kernel indexes the
+        # full stacked (L, B, T, D) tensors by scalar-prefetch layer index
+        None if use_pallas_cross_block else cache.cross_k,
+        None if use_pallas_cross_block else cache.cross_v,
+        None if use_pallas_cross_block else cache.cross_k_scale,
+        None if use_pallas_cross_block else cache.cross_v_scale,
         jnp.arange(L, dtype=jnp.int32),
     )
     # NOTE: unrolling this layer loop (unroll=n_text_layer) made the remote

@@ -49,6 +49,7 @@ def _cross_decode_kernel(
     _, T, D = k_ref.shape
     dh = D // n_head
     scale = dh ** -0.25
+    dd = _dot_dtype(q_ref.dtype)
 
     q = q_ref[0, 0, :].astype(jnp.float32) * (scale * scale)  # fold both scales
     # block-structured Q expansion: Qm[d, h] = q[d] iff d // dh == h
@@ -56,8 +57,8 @@ def _cross_decode_kernel(
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
     qm = jnp.where(d_ids // dh == h_ids, q[:, None], 0.0)  # (D, H) fp32
 
-    k = k_ref[0, :, :].astype(jnp.float32)  # int8 -> fp32 inside VMEM
-    logits = jnp.dot(k, qm, preferred_element_type=jnp.float32)  # (T, H)
+    k = k_ref[0, :, :].astype(dd)  # int8 -> bf16/fp32 inside VMEM
+    logits = jnp.dot(k, qm.astype(dd), preferred_element_type=jnp.float32)
     logits = logits * ks_ref[0, 0, :][:, None]  # per-key int8 scale
 
     w = jax.nn.softmax(logits, axis=0)  # (T, H), fp32
@@ -65,10 +66,21 @@ def _cross_decode_kernel(
 
     # expand per-head weights back to D lanes via the transpose expansion
     # matrix (H, D), then reduce over T (gather is unsupported in Mosaic)
-    expand = jnp.where(h_ids.T == d_ids.T // dh, 1.0, 0.0)  # (H, D)
-    w_full = jnp.dot(w, expand, preferred_element_type=jnp.float32)  # (T, D)
-    v = v_ref[0, :, :].astype(jnp.float32)
-    o_ref[0, 0, :] = jnp.sum(w_full * v, axis=0).astype(o_ref.dtype)
+    expand = jnp.where(h_ids.T == d_ids.T // dh, 1.0, 0.0).astype(dd)  # (H, D)
+    w_full = jnp.dot(w.astype(dd), expand, preferred_element_type=dd)  # (T, D)
+    prod = w_full * v_ref[0, :, :].astype(dd)
+    ones = jnp.ones((1, T), dd)
+    o_ref[0, 0, :] = jnp.dot(
+        ones, prod, preferred_element_type=jnp.float32
+    )[0].astype(o_ref.dtype)
+
+
+def _dot_dtype(q_dtype) -> jnp.dtype:
+    """MXU dtype for the big attention dots: bf16 when the activations are
+    bf16 (fp32 MXU passes run at 1/4 rate AND the (D, H=12) operand pads to
+    128 lanes, so fp32 here cost ~4x for nothing — GPU whisper computes these
+    dots in fp16 anyway), exact fp32 otherwise (CPU tests, fp32 decode)."""
+    return jnp.bfloat16 if q_dtype == jnp.bfloat16 else jnp.float32
 
 
 def _self_decode_body(
@@ -80,14 +92,17 @@ def _self_decode_body(
     dh = D // n_head
     scale = dh ** -0.25
     offset = s_ref[1]
+    dd = _dot_dtype(q_ref.dtype)
 
     q = q_ref[0, 0, :].astype(jnp.float32) * (scale * scale)
     d_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 0)
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
     qm = jnp.where(d_ids // dh == h_ids, q[:, None], 0.0)  # (D, H)
 
-    k = k_ref[0, 0, :, :].astype(jnp.float32)
-    logits = jnp.dot(k, qm, preferred_element_type=jnp.float32)  # (C, H)
+    k = k_ref[0, 0, :, :].astype(dd)
+    logits = jnp.dot(
+        k, qm.astype(dd), preferred_element_type=jnp.float32
+    )  # (C, H)
     if ks_ref is not None:
         logits = logits * ks_ref[0, 0, 0, :][:, None]  # per-position int8 scale
     pos = jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 0)
@@ -105,13 +120,19 @@ def _self_decode_body(
     w_old = e_old / denom  # (C, H)
     w_new = e_new / denom  # (1, H)
 
-    expand = jnp.where(h_ids.T == d_ids.T // dh, 1.0, 0.0)  # (H, D)
-    w_full = jnp.dot(w_old, expand, preferred_element_type=jnp.float32)  # (C, D)
     if vs_ref is not None:
-        w_full = w_full * vs_ref[0, 0, 0, :][:, None]  # fold v scale
-    v = v_ref[0, 0, :, :].astype(jnp.float32)
-    out = jnp.sum(w_full * v, axis=0)  # (D,)
-    wn_full = jnp.dot(w_new, expand, preferred_element_type=jnp.float32)  # (1, D)
+        w_old = w_old * vs_ref[0, 0, 0, :][:, None]  # fold v scale
+    expand = jnp.where(h_ids.T == d_ids.T // dh, 1.0, 0.0).astype(dd)  # (H, D)
+    w_full = jnp.dot(
+        w_old.astype(dd), expand, preferred_element_type=dd
+    )  # (C, D)
+    prod = w_full * v_ref[0, 0, :, :].astype(dd)  # (C, D)
+    # reduce over C on the MXU (fp32 accumulation, no fp32 (C, D) temp)
+    ones = jnp.ones((1, C), dd)
+    out = jnp.dot(ones, prod, preferred_element_type=jnp.float32)[0]  # (D,)
+    wn_full = jnp.dot(
+        w_new.astype(dd), expand, preferred_element_type=jnp.float32
+    )  # (1, D)
     out = out + wn_full[0] * vn_ref[0, 0, :].astype(jnp.float32)
     o_ref[0, 0, :] = out.astype(o_ref.dtype)
 
@@ -598,4 +619,142 @@ def cross_attend_decode(
         ),
         interpret=interpret,
     )(q, k_scale[:, None, :], v_scale[:, None, :], k, v)
+    return out
+
+
+def _cross_block_kernel(
+    s_ref,  # scalar prefetch (1,) int32: [layer_idx]
+    x_ref,  # (1, 1, D) residual stream, this batch row
+    g_ref,  # (1, 1, D) cross LN gain
+    b_ref,  # (1, 1, D) cross LN bias
+    wq_ref,  # (1, D, D)
+    bq_ref,  # (1, 1, D)
+    wo_ref,  # (1, D, D)
+    bo_ref,  # (1, 1, D)
+    ks_ref,  # (1, 1, T) f32 per-key k scales (ones when not quantized)
+    vs_ref,  # (1, 1, T)
+    k_ref,  # (1, 1, T, D) int8 or bf16 cross keys, this batch row
+    v_ref,  # (1, 1, T, D)
+    o_ref,  # (1, 1, D) new residual stream
+    *,
+    n_head: int,
+):
+    _, _, T, D = k_ref.shape
+    dh = D // n_head
+    scale = dh ** -0.25
+    dd = _dot_dtype(x_ref.dtype)
+
+    # fp32 LayerNorm island (olmoasr/model.py LayerNorm casts to fp32)
+    x = x_ref[0, 0, :].astype(jnp.float32)
+    mean = jnp.mean(x)
+    var = jnp.mean((x - mean) ** 2)
+    h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    h = h * g_ref[0, 0, :].astype(jnp.float32) + b_ref[0, 0, :].astype(jnp.float32)
+
+    q = jnp.dot(
+        h[None, :].astype(dd), wq_ref[0, :, :].astype(dd),
+        preferred_element_type=jnp.float32,
+    )[0] + bq_ref[0, 0, :].astype(jnp.float32)  # (D,)
+    q = q * (scale * scale)  # fold both q,k scales (k scale folded into q)
+
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 0)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
+    qm = jnp.where(d_ids // dh == h_ids, q[:, None], 0.0)  # (D, H) fp32
+
+    k = k_ref[0, 0, :, :].astype(dd)  # int8 -> bf16 in VMEM, never via HBM
+    logits = jnp.dot(k, qm.astype(dd), preferred_element_type=jnp.float32)
+    logits = logits * ks_ref[0, 0, :][:, None]  # per-key int8 scale
+
+    w = jax.nn.softmax(logits, axis=0)  # (T, H) fp32
+    w = w * vs_ref[0, 0, :][:, None]  # fold per-key v scale
+
+    expand = jnp.where(h_ids.T == d_ids.T // dh, 1.0, 0.0).astype(dd)  # (H, D)
+    w_full = jnp.dot(w.astype(dd), expand, preferred_element_type=dd)  # (T, D)
+    prod = w_full * v_ref[0, 0, :, :].astype(dd)
+    ones = jnp.ones((1, T), dd)
+    attn = jnp.dot(ones, prod, preferred_element_type=jnp.float32)  # (1, D)
+
+    out = jnp.dot(
+        attn.astype(dd), wo_ref[0, :, :].astype(dd),
+        preferred_element_type=jnp.float32,
+    )[0] + bo_ref[0, 0, :].astype(jnp.float32)
+    o_ref[0, 0, :] = (x + out).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def cross_block_decode(
+    x: jax.Array,  # (B, 1, D) residual stream (post self-attention)
+    ln_g: jax.Array,  # (L, D) cross LN params, stacked over layers
+    ln_b: jax.Array,
+    wq: jax.Array,  # (L, D, D)
+    bq: jax.Array,  # (L, D)
+    wo: jax.Array,  # (L, D, D)
+    bo: jax.Array,  # (L, D)
+    ck: jax.Array,  # (L, B, T, D) int8/bf16 cross keys (full stacked cache)
+    cv: jax.Array,
+    ck_scale: jax.Array,  # (L, B, T) f32 (pass ones when K/V are bf16)
+    cv_scale: jax.Array,
+    layer_idx: jax.Array,  # scalar int32
+    *,
+    n_head: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole decode-step cross-attention sub-block in ONE kernel per layer:
+    fp32 LN + q projection + int8 (or bf16) cross attention + output
+    projection + residual.
+
+    THE decode bandwidth bottleneck is the cross K/V read (every layer, every
+    step, reads (B, 1500, D) K and V). The XLA int8 path moves bf16-sized
+    bytes (measured ~2.2ms/step at small.en B=32 — exactly the 1.77GB bf16
+    footprint); this kernel streams the int8 bytes (884MB) into VMEM once and
+    dequantizes in-core, with the q/out projections and LN fused in so the
+    per-layer cross block is one launch instead of ~8 XLA ops.
+
+    Takes the FULL stacked (L, B, T, D) tensors and block-indexes the layer
+    via scalar prefetch (same pattern as self_attend_decode) so the cache
+    stays out of the decode layer-scan's xs. Replaces the cross path of
+    reference olmoasr/inf_model.py (MultiHeadAttention cross hooks).
+    """
+    B, S, D = x.shape
+    assert S == 1
+    L, _, T, _ = ck.shape
+    scalars = jnp.stack([layer_idx.astype(jnp.int32)])
+
+    row3 = lambda b, s: (b, 0, 0)
+    lay3 = lambda b, s: (s[0], 0, 0)
+    cache4 = lambda b, s: (s[0], b, 0, 0)
+    scale3 = lambda b, s: (s[0], b, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), row3, memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, D), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, D), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), scale3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), scale3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, D), cache4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, D), cache4, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D), row3, memory_space=pltpu.VMEM),
+    )
+    kv_bytes = T * D * (1 if ck.dtype == jnp.int8 else 2)
+    out = pl.pallas_call(
+        functools.partial(_cross_block_kernel, n_head=n_head),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (T * D * 2 + 2 * D * D),
+            bytes_accessed=B * 2 * kv_bytes + 2 * D * D * 2,
+            transcendentals=B * T * n_head,
+        ),
+        interpret=interpret,
+    )(
+        scalars, x, ln_g[:, None, :], ln_b[:, None, :], wq, bq[:, None, :],
+        wo, bo[:, None, :], ck_scale, cv_scale, ck, cv,
+    )
     return out

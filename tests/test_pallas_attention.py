@@ -35,6 +35,70 @@ def test_kernel_matches_quantized_xla_path():
     assert float(jnp.abs(out - exact).max()) < 0.05
 
 
+def test_cross_block_kernel_matches_composed_path():
+    """Fused LN+qproj+attn+oproj+residual kernel vs the composed XLA ops."""
+    from olmoasr_tpu.models.whisper import layer_norm, _linear
+    from olmoasr_tpu.ops.attention import cross_block_decode
+
+    B, T, D, H, L = 4, 96, 64, 4, 3
+    ks = jax.random.split(jax.random.PRNGKey(0), 12)
+    x = jax.random.normal(ks[0], (B, 1, D), jnp.float32)
+    ln_g = jax.random.normal(ks[1], (L, D)) * 0.1 + 1.0
+    ln_b = jax.random.normal(ks[2], (L, D)) * 0.1
+    wq = jax.random.normal(ks[3], (L, D, D)) * 0.1
+    bq = jax.random.normal(ks[4], (L, D)) * 0.1
+    wo = jax.random.normal(ks[5], (L, D, D)) * 0.1
+    bo = jax.random.normal(ks[6], (L, D)) * 0.1
+    ck_f = jax.random.normal(ks[7], (L, B, T, D))
+    cv_f = jax.random.normal(ks[8], (L, B, T, D))
+    ckq, cks = _quantize_rows(ck_f)
+    cvq, cvs = _quantize_rows(cv_f)
+
+    for li in (0, 2):
+        qc = _linear(layer_norm(x, ln_g[li], ln_b[li]), wq[li], bq[li])
+        cattn = cross_attend(qc, ckq[li], cvq[li], H, cks[li], cvs[li])
+        ref = x + _linear(cattn, wo[li], bo[li])
+        out = cross_block_decode(
+            x, ln_g, ln_b, wq, bq, wo, bo, ckq, cvq, cks, cvs,
+            jnp.int32(li), n_head=H, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-5
+        )
+
+
+def test_cross_block_kernel_bf16_and_unquantized():
+    """bf16 activations take the bf16 MXU path; ones-scales = bf16 cache."""
+    from olmoasr_tpu.models.whisper import layer_norm, _linear, sdpa
+    from olmoasr_tpu.ops.attention import cross_block_decode
+
+    B, T, D, H, L = 2, 96, 64, 4, 2
+    ks = jax.random.split(jax.random.PRNGKey(1), 12)
+    x = jax.random.normal(ks[0], (B, 1, D), jnp.bfloat16)
+    ln_g = (jax.random.normal(ks[1], (L, D)) * 0.1 + 1.0).astype(jnp.bfloat16)
+    ln_b = (jax.random.normal(ks[2], (L, D)) * 0.1).astype(jnp.bfloat16)
+    wq = (jax.random.normal(ks[3], (L, D, D)) * 0.1).astype(jnp.bfloat16)
+    bq = (jax.random.normal(ks[4], (L, D)) * 0.1).astype(jnp.bfloat16)
+    wo = (jax.random.normal(ks[5], (L, D, D)) * 0.1).astype(jnp.bfloat16)
+    bo = (jax.random.normal(ks[6], (L, D)) * 0.1).astype(jnp.bfloat16)
+    ck = jax.random.normal(ks[7], (L, B, T, D), jnp.bfloat16)
+    cv = jax.random.normal(ks[8], (L, B, T, D), jnp.bfloat16)
+    ones = jnp.ones((L, B, T), jnp.float32)
+
+    li = 1
+    qc = _linear(layer_norm(x, ln_g[li], ln_b[li]), wq[li], bq[li])
+    cattn = sdpa(qc, ck[li], cv[li], H, None)
+    ref = x + _linear(cattn, wo[li], bo[li])
+    out = cross_block_decode(
+        x, ln_g, ln_b, wq, bq, wo, bo, ck, cv, ones, ones,
+        jnp.int32(li), n_head=H, interpret=True,
+    )
+    err = np.abs(
+        np.asarray(out, np.float32) - np.asarray(ref, np.float32)
+    ).max()
+    assert err < 0.05, err  # bf16 rounding only
+
+
 def test_self_kernel_matches_attend_cached():
     from olmoasr_tpu.models.whisper import _attend_cached
     from olmoasr_tpu.ops.attention import self_attend_decode
