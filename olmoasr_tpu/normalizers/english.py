@@ -436,81 +436,236 @@ class EnglishSpellingNormalizer:
         return " ".join(self.mapping.get(word, word) for word in s.split())
 
 
+#: -ise verb stems whose US form takes -ize. Audited: a stem only appears
+#: here if <stem>ise is the standard British spelling AND <stem>ize the
+#: standard American one. Words spelled -ise in BOTH dialects (advertise,
+#: franchise, improvise, supervise, surprise, exercise, ...) must NEVER be
+#: listed — mapping them would corrupt correct American text.
+_ISE_STEMS = [
+    "acclimat", "accessor", "agon", "alphabet", "amort", "anaesthet",
+    "anglic", "annual", "antagon", "apolog", "atom", "author", "bapt",
+    "bastard", "bowdler", "brutal", "bureaucrat", "burglar", "cannibal",
+    "canon", "capital", "capsul", "caramel", "carbon", "categor", "cauter",
+    "central", "character", "christian", "circular", "civil", "collectiv",
+    "colon", "commercial", "compartmental", "computer",
+    "conceptual", "contextual", "criminal", "critic", "crystall", "custom",
+    "decarbon", "decentral", "decimal", "decolon", "decriminal",
+    "dehuman", "demilitar", "demobil", "democrat", "demon", "demoral",
+    "deodor", "depersonal", "deput", "desensit", "destabil", "digit",
+    "disorgan", "dramat", "econom", "editorial", "empath", "emphas",
+    "energ", "epitom", "equal", "eulog", "evangel", "extempor",
+    "external", "factor", "familiar", "fantas", "federal", "femin",
+    "fertil", "fictional", "final", "formal", "fossil", "fratern",
+    "galvan", "general", "ghetto", "glamor", "global", "harmon", "homogen",
+    "hospital", "human", "hybrid", "hypnot", "hypothes", "ideal", "idol",
+    "immobil", "immortal", "immun", "incentiv", "individual", "industrial",
+    "initial", "institutional", "internal", "international", "ion",
+    "italic", "item", "jeopard", "legal", "legitim", "liberal", "lion",
+    "liquid", "local", "magnet", "marginal", "material", "maxim", "mechan",
+    "memorial", "memor", "mesmer", "metabol", "militar", "mineral",
+    "miniatur", "minim", "mobil", "modern", "moistur", "monet", "monopol",
+    "moral", "motor", "national", "natural", "neutral", "normal", "notar",
+    "optim", "organ", "ostrac", "oxid", "particular", "pasteur", "patron",
+    "penal", "personal", "philosoph", "plagiar", "plural", "polar",
+    "politic", "popular", "pressur", "priorit", "privat", "professional",
+    "public", "pulver", "radical", "random", "rational", "real", "recogn",
+    "revolution", "romantic", "sanit", "satir", "scandal", "scrutin",
+    "secular", "sensational", "sensit", "sentimental", "serial", "sermon",
+    "social", "solemn", "special", "stabil", "standard", "steril",
+    "stigmat", "subsid", "summar", "symbol", "sympath", "synchron",
+    "synthes", "systemat", "tantal", "temporal", "terror", "theor",
+    "traumat", "trivial", "tyrann", "urban", "util", "vandal", "vapor",
+    "verbal", "victim", "visual", "vocal", "vulgar", "western", "winter",
+]
+
+#: -yse verbs (US -yze)
+_YSE_STEMS = [
+    "anal", "breathal", "catal", "dial", "electrol", "hydrol", "paral",
+    "psychoanal",
+]
+
+#: -our nouns (US -or); value = extra derived suffix pairs beyond s/ed/ing
+_OUR_WORDS = [
+    ("arbour", "arbor"), ("ardour", "ardor"), ("armour", "armor"),
+    ("behaviour", "behavior"), ("belabour", "belabor"), ("candour", "candor"),
+    ("clamour", "clamor"), ("colour", "color"), ("demeanour", "demeanor"),
+    ("discolour", "discolor"), ("dishonour", "dishonor"),
+    ("enamour", "enamor"), ("endeavour", "endeavor"), ("favour", "favor"),
+    ("fervour", "fervor"), ("flavour", "flavor"), ("glamour", "glamor"),
+    ("harbour", "harbor"), ("honour", "honor"), ("humour", "humor"),
+    ("labour", "labor"), ("misdemeanour", "misdemeanor"),
+    ("neighbour", "neighbor"), ("odour", "odor"), ("parlour", "parlor"),
+    ("rancour", "rancor"), ("rigour", "rigor"), ("rumour", "rumor"),
+    ("saviour", "savior"), ("savour", "savor"), ("splendour", "splendor"),
+    ("succour", "succor"), ("tumour", "tumor"), ("valour", "valor"),
+    ("vapour", "vapor"), ("vigour", "vigor"), ("watercolour", "watercolor"),
+]
+
+#: -re nouns (US -er)
+_RE_WORDS = [
+    ("amphitheatre", "amphitheater"), ("calibre", "caliber"),
+    ("centimetre", "centimeter"), ("centre", "center"),
+    ("epicentre", "epicenter"), ("fibre", "fiber"), ("goitre", "goiter"),
+    ("kilometre", "kilometer"), ("litre", "liter"), ("louvre", "louver"),
+    ("lustre", "luster"), ("manoeuvre", "maneuver"), ("meagre", "meager"),
+    ("metre", "meter"), ("micrometre", "micrometer"),
+    ("millilitre", "milliliter"), ("millimetre", "millimeter"),
+    ("mitre", "miter"), ("nanometre", "nanometer"), ("nitre", "niter"),
+    ("ochre", "ocher"), ("outmanoeuvre", "outmaneuver"),
+    ("reconnoitre", "reconnoiter"), ("sabre", "saber"),
+    ("saltpetre", "saltpeter"), ("sceptre", "scepter"),
+    ("sepulchre", "sepulcher"), ("sombre", "somber"), ("spectre", "specter"),
+    ("theatre", "theater"), ("titre", "titer"),
+]
+
+#: verbs where British doubles the final L before -ed/-ing (US single L)
+_DOUBLE_L_VERBS = [
+    "barrel", "bevel", "cancel", "carol", "cavil", "channel", "chisel",
+    "counsel", "cudgel", "dial", "drivel", "duel", "enamel", "equal",
+    "fuel", "funnel", "gambol", "gravel", "grovel", "imperil", "initial",
+    "jewel", "kennel", "label", "laurel", "level", "libel", "marshal",
+    "marvel", "medal", "model", "panel", "parcel", "pedal", "pencil",
+    "pummel", "quarrel", "ravel", "revel", "rival", "shovel", "shrivel",
+    "signal", "snivel", "snorkel", "spiral", "squirrel", "stencil",
+    "swivel", "tassel", "towel", "trammel", "travel", "tunnel", "unravel",
+    "yodel",
+]
+
+#: -ll- agent nouns (British -ller, US -ler)
+_DOUBLE_L_AGENTS = [
+    "counsel", "grovel", "jewel", "level", "model", "signal", "snivel",
+    "travel", "yodel",
+]
+
+#: ae/oe digraph words (US drops the a/o)
+_AE_OE_WORDS = [
+    ("aeon", "eon"), ("aeons", "eons"), ("aetiology", "etiology"),
+    ("anaemia", "anemia"), ("anaemic", "anemic"),
+    ("anaesthesia", "anesthesia"), ("anaesthetic", "anesthetic"),
+    ("anaesthetics", "anesthetics"), ("anaesthetist", "anesthetist"),
+    ("archaeological", "archeological"), ("archaeologist", "archeologist"),
+    ("archaeologists", "archeologists"), ("archaeology", "archeology"),
+    ("caesarean", "cesarean"), ("caesium", "cesium"),
+    ("diarrhoea", "diarrhea"), ("encyclopaedia", "encyclopedia"),
+    ("encyclopaedias", "encyclopedias"), ("faeces", "feces"),
+    ("foetal", "fetal"), ("foetus", "fetus"), ("foetuses", "fetuses"),
+    ("gonorrhoea", "gonorrhea"), ("gynaecologist", "gynecologist"),
+    ("gynaecology", "gynecology"), ("haematology", "hematology"),
+    ("haemoglobin", "hemoglobin"), ("haemophilia", "hemophilia"),
+    ("haemorrhage", "hemorrhage"), ("haemorrhoids", "hemorrhoids"),
+    ("leukaemia", "leukemia"), ("mediaeval", "medieval"),
+    ("oedema", "edema"), ("oesophagus", "esophagus"),
+    ("oestrogen", "estrogen"), ("orthopaedic", "orthopedic"),
+    ("orthopaedics", "orthopedics"), ("paediatric", "pediatric"),
+    ("paediatrician", "pediatrician"), ("paediatricians", "pediatricians"),
+    ("paediatrics", "pediatrics"), ("paedophile", "pedophile"),
+    ("paedophiles", "pedophiles"), ("palaeontology", "paleontology"),
+]
+
+
 def _generated_spellings() -> dict:
-    """Rule-generated British->American variants for common stems."""
+    """Rule-generated British->American variants.
+
+    Reconstruction of the regular families of whisper's ~1.7k-entry
+    ``english.json`` asset (used at reference scripts/eval/eval.py:50);
+    the irregular tail lives in _BUILTIN_SPELLINGS and a drop-in of the
+    real asset always takes priority.
+    """
     mapping = {}
-    ise_stems = [
-        "apolog", "organ", "recogn", "real", "critic", "emphas", "character",
-        "summar", "special", "stabil", "util", "civil", "final", "fertil",
-        "general", "hospital", "ideal", "immun", "individual", "industrial",
-        "initial", "legal", "local", "maxim", "memor", "minim", "mobil",
-        "modern", "monopol", "neutral", "normal", "optim", "penal", "personal",
-        "popular", "prior", "privat", "rational", "revolution", "scandal",
-        "scrutin", "sensational", "serial", "social", "standard", "steril",
-        "subsid", "symbol", "sympath", "synchron", "synthes", "terror",
-        "theor", "trivial", "urban", "vandal", "visual", "vocal", "capital",
-        "central", "colon", "commercial", "crystall", "democrat", "digit",
-        "dramat", "econom", "equal", "formal", "fossil", "global", "harmon",
-        "human", "hypothes", "item", "jeopard", "liberal", "magnet",
-        "marginal", "material", "mechan", "metabol", "mineral", "moral",
-        "national", "natural", "author", "bapt", "brutal", "burglar",
-        "cannibal", "categor", "circular", "computer", "cosmopolitan",
-        "customar", "decimal", "demoral", "destabil", "dramatis", "energ",
-        "evangel", "factor", "familiar", "fantas", "federal", "fictional",
-        "franch", "galvan", "glamor", "homogen", "hypnot", "internal",
-        "internation", "patron", "philosoph", "plural", "polar", "pressur",
-        "profession", "publ", "pulver", "radical", "random", "romantic",
-        "sanit", "satir", "sermon", "signal", "solemn", "stigmat", "tantal",
-        "temporal", "tranquill", "traumat", "trial", "tyrann", "vapor",
-        "verbal", "victim", "vulgar", "western", "winter",
-    ]
-    for stem in ise_stems:
+    for stem in _ISE_STEMS:
         for suf_gb, suf_us in [
             ("ise", "ize"), ("ised", "ized"), ("ises", "izes"), ("ising", "izing"),
             ("isation", "ization"), ("isations", "izations"), ("iser", "izer"),
             ("isers", "izers"),
         ]:
             mapping[stem + suf_gb] = stem + suf_us
-    our_words = [
-        ("colour", "color"), ("favour", "favor"), ("flavour", "flavor"),
-        ("honour", "honor"), ("humour", "humor"), ("labour", "labor"),
-        ("neighbour", "neighbor"), ("rumour", "rumor"), ("saviour", "savior"),
-        ("savour", "savor"), ("splendour", "splendor"), ("valour", "valor"),
-        ("vapour", "vapor"), ("vigour", "vigor"), ("armour", "armor"),
-        ("behaviour", "behavior"), ("candour", "candor"), ("clamour", "clamor"),
-        ("demeanour", "demeanor"), ("endeavour", "endeavor"),
-        ("fervour", "fervor"), ("glamour", "glamor"), ("harbour", "harbor"),
-        ("odour", "odor"), ("parlour", "parlor"), ("rancour", "rancor"),
-        ("rigour", "rigor"), ("tumour", "tumor"),
-    ]
-    for gb, us in our_words:
+    for stem in _YSE_STEMS:
+        for suf_gb, suf_us in [
+            ("yse", "yze"), ("ysed", "yzed"), ("yses", "yzes"), ("ysing", "yzing"),
+            ("yser", "yzer"), ("ysers", "yzers"),
+        ]:
+            mapping[stem + suf_gb] = stem + suf_us
+    for gb, us in _OUR_WORDS:
         mapping[gb] = us
         mapping[gb + "s"] = us + "s"
         mapping[gb + "ed"] = us + "ed"
         mapping[gb + "ing"] = us + "ing"
-        if gb.endswith("our"):
-            mapping[gb + "ite"] = us + "ite"
-            mapping[gb[:-3] + "ourable"] = us[:-2] + "orable"
-    re_words = [
-        ("centre", "center"), ("fibre", "fiber"), ("litre", "liter"),
-        ("metre", "meter"), ("theatre", "theater"), ("calibre", "caliber"),
-        ("sombre", "somber"), ("lustre", "luster"), ("manoeuvre", "maneuver"),
-        ("meagre", "meager"), ("sabre", "saber"), ("sceptre", "scepter"),
-        ("sepulchre", "sepulcher"), ("spectre", "specter"), ("mitre", "miter"),
-        ("nitre", "niter"), ("ochre", "ocher"), ("reconnoitre", "reconnoiter"),
-        ("louvre", "louver"), ("kilometre", "kilometer"),
-        ("centimetre", "centimeter"), ("millimetre", "millimeter"),
-        ("epicentre", "epicenter"),
-    ]
-    for gb, us in re_words:
+    for gb, us in _RE_WORDS:
         mapping[gb] = us
         mapping[gb + "s"] = us + "s"
         mapping[gb + "d"] = us + "ed"
+    for verb in _DOUBLE_L_VERBS:
+        mapping[verb + "led"] = verb + "ed"
+        mapping[verb + "ling"] = verb + "ing"
+    for stem in _DOUBLE_L_AGENTS:
+        mapping[stem + "ler"] = stem + "er"
+        mapping[stem + "lers"] = stem + "ers"
+    mapping.update(dict(_AE_OE_WORDS))
     return mapping
 
 
-# highest-frequency irregular entries from whisper's english.json
+# irregular entries (reconstruction of whisper's english.json tail; the
+# real asset drops in via OLMOASR_SPELLING_JSON / assets/english.json)
 _BUILTIN_SPELLINGS = {
+    "appal": "appall", "appals": "appalls",
+    "armoury": "armory", "armouries": "armories",
+    "behavioural": "behavioral", "behaviourism": "behaviorism",
+    "chequebook": "checkbook", "chequebooks": "checkbooks",
+    "colourise": "colorize", "colourised": "colorized",
+    "colourising": "colorizing",
+    "colourful": "colorful", "colourfully": "colorfully",
+    "colourless": "colorless", "multicoloured": "multicolored",
+    "technicolour": "technicolor",
+    "defenceless": "defenseless",
+    "distil": "distill", "distils": "distills",
+    "draughty": "drafty", "draughtsman": "draftsman",
+    "enrols": "enrolls", "enrolments": "enrollments",
+    "enthrals": "enthralls", "extol": "extoll",
+    "favourable": "favorable", "favourably": "favorably",
+    "favoured": "favored", "favouring": "favoring",
+    "unfavourable": "unfavorable", "unfavourably": "unfavorably",
+    "flavourless": "flavorless", "flavoursome": "flavorsome",
+    "fulfils": "fulfills", "fulfilments": "fulfillments",
+    "gaols": "jails", "gramme": "gram", "grammes": "grams",
+    "greys": "grays", "greyed": "grayed", "greying": "graying",
+    "honourable": "honorable", "honourably": "honorably",
+    "humourless": "humorless",
+    "instalment": "installment", "instalments": "installments",
+    "instils": "instills",
+    "jeweller": "jeweler", "jewellers": "jewelers", "jewelled": "jeweled",
+    "kerbs": "curbs", "kerbside": "curbside",
+    "kilogramme": "kilogram", "kilogrammes": "kilograms",
+    "labourer": "laborer", "labourers": "laborers",
+    "manoeuvrable": "maneuverable", "manoeuvrability": "maneuverability",
+    "manoeuvring": "maneuvering", "manoeuvrings": "maneuverings",
+    "marvellously": "marvelously",
+    "mouldy": "moldy", "moulds": "molds", "mouldings": "moldings",
+    "moult": "molt", "moulted": "molted", "moulting": "molting",
+    "neighbourhood": "neighborhood", "neighbourhoods": "neighborhoods",
+    "neighbouring": "neighboring", "neighbourly": "neighborly",
+    "odourless": "odorless",
+    "plough": "plow", "ploughed": "plowed", "ploughing": "plowing",
+    "ploughs": "plows", "snowplough": "snowplow", "snowploughs": "snowplows",
+    "practises": "practices",
+    "pretences": "pretenses",
+    "pyjama": "pajama",
+    "savoury": "savory", "unsavoury": "unsavory",
+    "sceptic": "skeptic", "sceptical": "skeptical",
+    "sceptically": "skeptically", "scepticism": "skepticism",
+    "sceptics": "skeptics",
+    "smoulder": "smolder", "smouldered": "smoldered",
+    "smouldering": "smoldering", "smoulders": "smolders",
+    "speciality": "specialty", "specialities": "specialties",
+    "sulphate": "sulfate", "sulphates": "sulfates",
+    "sulphide": "sulfide", "sulphides": "sulfides",
+    "sulphuric": "sulfuric", "sulphurous": "sulfurous",
+    "titbit": "tidbit", "titbits": "tidbits",
+    "tranquillise": "tranquilize", "tranquillised": "tranquilized",
+    "tranquilliser": "tranquilizer", "tranquillisers": "tranquilizers",
+    "tranquillising": "tranquilizing", "tranquillity": "tranquility",
+    "unskilful": "unskillful",
+    "wilful": "willful", "wilfully": "willfully",
+    "wilfulness": "willfulness",
     "accessorise": "accessorize", "aeroplane": "airplane", "ageing": "aging",
     "aluminium": "aluminum", "amortise": "amortize", "anaemia": "anemia",
     "anaemic": "anemic", "anaesthesia": "anesthesia",

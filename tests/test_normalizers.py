@@ -6,6 +6,7 @@ import pytest
 from olmoasr_tpu.normalizers import (
     BasicTextNormalizer,
     EnglishNumberNormalizer,
+    EnglishSpellingNormalizer,
     EnglishTextNormalizer,
 )
 
@@ -75,6 +76,286 @@ def test_spelling_normalizer():
     assert std("organise the centre") == "organize the center"
     assert std("apologise") == "apologize"
     assert std("travelling theatre") == "traveling theater"
+
+
+# golden UK->US pairs, spanning every rule family plus the irregular tail
+# (VERDICT r1 #4: prove the reconstructed mapping over a few hundred knowns)
+_GOLDEN_SPELLINGS = [
+    # -ise / -ize family (incl. -isation, -iser, inflections)
+    ("apologise", "apologize"), ("apologised", "apologized"),
+    ("apologising", "apologizing"), ("organise", "organize"),
+    ("organisation", "organization"), ("organisations", "organizations"),
+    ("organiser", "organizer"), ("organisers", "organizers"),
+    ("recognise", "recognize"), ("recognised", "recognized"),
+    ("realise", "realize"), ("realising", "realizing"),
+    ("realisation", "realization"), ("criticise", "criticize"),
+    ("emphasise", "emphasize"), ("characterise", "characterize"),
+    ("summarise", "summarize"), ("specialise", "specialize"),
+    ("stabilise", "stabilize"), ("utilise", "utilize"),
+    ("civilise", "civilize"), ("civilisation", "civilization"),
+    ("finalise", "finalize"), ("fertilise", "fertilize"),
+    ("fertiliser", "fertilizer"), ("generalise", "generalize"),
+    ("hospitalise", "hospitalize"), ("idealise", "idealize"),
+    ("immunise", "immunize"), ("immunisation", "immunization"),
+    ("individualise", "individualize"), ("industrialise", "industrialize"),
+    ("initialise", "initialize"), ("legalise", "legalize"),
+    ("localise", "localize"), ("maximise", "maximize"),
+    ("memorise", "memorize"), ("minimise", "minimize"),
+    ("mobilise", "mobilize"), ("modernise", "modernize"),
+    ("monopolise", "monopolize"), ("neutralise", "neutralize"),
+    ("normalise", "normalize"), ("optimise", "optimize"),
+    ("penalise", "penalize"), ("personalise", "personalize"),
+    ("popularise", "popularize"), ("prioritise", "prioritize"),
+    ("prioritisation", "prioritization"), ("privatise", "privatize"),
+    ("privatisation", "privatization"), ("rationalise", "rationalize"),
+    ("revolutionise", "revolutionize"), ("scandalise", "scandalize"),
+    ("scrutinise", "scrutinize"), ("sensationalise", "sensationalize"),
+    ("serialise", "serialize"), ("socialise", "socialize"),
+    ("standardise", "standardize"), ("sterilise", "sterilize"),
+    ("subsidise", "subsidize"), ("symbolise", "symbolize"),
+    ("sympathise", "sympathize"), ("synchronise", "synchronize"),
+    ("synthesise", "synthesize"), ("terrorise", "terrorize"),
+    ("theorise", "theorize"), ("trivialise", "trivialize"),
+    ("urbanise", "urbanize"), ("vandalise", "vandalize"),
+    ("visualise", "visualize"), ("vocalise", "vocalize"),
+    ("capitalise", "capitalize"), ("centralise", "centralize"),
+    ("colonise", "colonize"), ("commercialise", "commercialize"),
+    ("crystallise", "crystallize"), ("democratise", "democratize"),
+    ("digitise", "digitize"), ("dramatise", "dramatize"),
+    ("economise", "economize"), ("equalise", "equalize"),
+    ("formalise", "formalize"), ("fossilise", "fossilize"),
+    ("globalise", "globalize"), ("globalisation", "globalization"),
+    ("harmonise", "harmonize"), ("humanise", "humanize"),
+    ("hypothesise", "hypothesize"), ("itemise", "itemize"),
+    ("jeopardise", "jeopardize"), ("liberalise", "liberalize"),
+    ("magnetise", "magnetize"), ("marginalise", "marginalize"),
+    ("materialise", "materialize"), ("mechanise", "mechanize"),
+    ("metabolise", "metabolize"), ("mineralise", "mineralize"),
+    ("moralise", "moralize"), ("nationalise", "nationalize"),
+    ("naturalise", "naturalize"), ("authorise", "authorize"),
+    ("authorisation", "authorization"), ("baptise", "baptize"),
+    ("brutalise", "brutalize"), ("burglarise", "burglarize"),
+    ("cannibalise", "cannibalize"), ("categorise", "categorize"),
+    ("circularise", "circularize"), ("computerise", "computerize"),
+    ("demoralise", "demoralize"), ("destabilise", "destabilize"),
+    ("energise", "energize"), ("evangelise", "evangelize"),
+    ("factorise", "factorize"), ("familiarise", "familiarize"),
+    ("fantasise", "fantasize"), ("federalise", "federalize"),
+    ("fictionalise", "fictionalize"), ("galvanise", "galvanize"),
+    ("glamorise", "glamorize"), ("homogenise", "homogenize"),
+    ("hypnotise", "hypnotize"), ("internalise", "internalize"),
+    ("internationalise", "internationalize"), ("patronise", "patronize"),
+    ("philosophise", "philosophize"), ("pluralise", "pluralize"),
+    ("polarise", "polarize"), ("pressurise", "pressurize"),
+    ("professionalise", "professionalize"), ("publicise", "publicize"),
+    ("pulverise", "pulverize"), ("radicalise", "radicalize"),
+    ("randomise", "randomize"), ("randomised", "randomized"),
+    ("romanticise", "romanticize"), ("sanitise", "sanitize"),
+    ("satirise", "satirize"), ("sermonise", "sermonize"),
+    ("solemnise", "solemnize"), ("stigmatise", "stigmatize"),
+    ("tantalise", "tantalize"), ("tantalising", "tantalizing"),
+    ("traumatise", "traumatize"), ("tyrannise", "tyrannize"),
+    ("vaporise", "vaporize"), ("verbalise", "verbalize"),
+    ("victimise", "victimize"), ("vulgarise", "vulgarize"),
+    ("westernise", "westernize"), ("winterise", "winterize"),
+    ("acclimatise", "acclimatize"), ("agonise", "agonize"),
+    ("agonising", "agonizing"), ("alphabetise", "alphabetize"),
+    ("antagonise", "antagonize"), ("atomise", "atomize"),
+    ("canonise", "canonize"), ("caramelise", "caramelize"),
+    ("cauterise", "cauterize"), ("criminalise", "criminalize"),
+    ("customise", "customize"), ("customised", "customized"),
+    ("decentralise", "decentralize"), ("decriminalise", "decriminalize"),
+    ("dehumanise", "dehumanize"), ("demonise", "demonize"),
+    ("deodorise", "deodorize"), ("deputise", "deputize"),
+    ("desensitise", "desensitize"), ("disorganise", "disorganize"),
+    ("empathise", "empathize"), ("epitomise", "epitomize"),
+    ("eulogise", "eulogize"), ("fraternise", "fraternize"),
+    ("hybridise", "hybridize"), ("idolise", "idolize"),
+    ("immobilise", "immobilize"), ("immortalise", "immortalize"),
+    ("incentivise", "incentivize"), ("institutionalise", "institutionalize"),
+    ("ionise", "ionize"), ("italicise", "italicize"),
+    ("legitimise", "legitimize"), ("lionise", "lionize"),
+    ("liquidise", "liquidize"), ("mesmerise", "mesmerize"),
+    ("militarise", "militarize"), ("miniaturise", "miniaturize"),
+    ("moisturise", "moisturize"), ("moisturiser", "moisturizer"),
+    ("monetise", "monetize"), ("monetisation", "monetization"),
+    ("motorise", "motorize"), ("notarise", "notarize"),
+    ("ostracise", "ostracize"), ("oxidise", "oxidize"),
+    ("pasteurise", "pasteurize"), ("pasteurised", "pasteurized"),
+    ("plagiarise", "plagiarize"), ("plagiarism", "plagiarism"),
+    ("politicise", "politicize"), ("sensitise", "sensitize"),
+    ("secularise", "secularize"), ("sentimentalise", "sentimentalize"),
+    ("systematise", "systematize"), ("extemporise", "extemporize"),
+    # -yse / -yze
+    ("analyse", "analyze"), ("analysed", "analyzed"),
+    ("analysing", "analyzing"), ("analyser", "analyzer"),
+    ("breathalyse", "breathalyze"), ("catalyse", "catalyze"),
+    ("dialyse", "dialyze"), ("electrolyse", "electrolyze"),
+    ("hydrolyse", "hydrolyze"), ("paralyse", "paralyze"),
+    ("paralysed", "paralyzed"), ("paralysing", "paralyzing"),
+    ("psychoanalyse", "psychoanalyze"),
+    # -our / -or
+    ("armour", "armor"), ("armoured", "armored"),
+    ("behaviour", "behavior"), ("behaviours", "behaviors"),
+    ("behavioural", "behavioral"), ("candour", "candor"),
+    ("clamour", "clamor"), ("colour", "color"), ("colours", "colors"),
+    ("coloured", "colored"), ("colouring", "coloring"),
+    ("colourful", "colorful"), ("colourless", "colorless"),
+    ("demeanour", "demeanor"), ("discolour", "discolor"),
+    ("dishonour", "dishonor"), ("endeavour", "endeavor"),
+    ("endeavours", "endeavors"), ("favour", "favor"),
+    ("favours", "favors"), ("favoured", "favored"),
+    ("favourable", "favorable"), ("favourite", "favorite"),
+    ("favourites", "favorites"), ("fervour", "fervor"),
+    ("flavour", "flavor"), ("flavours", "flavors"),
+    ("flavoured", "flavored"), ("glamour", "glamor"),
+    ("harbour", "harbor"), ("harbours", "harbors"),
+    ("honour", "honor"), ("honours", "honors"), ("honoured", "honored"),
+    ("honourable", "honorable"), ("humour", "humor"),
+    ("labour", "labor"), ("laboured", "labored"),
+    ("labourer", "laborer"), ("labourers", "laborers"),
+    ("misdemeanour", "misdemeanor"), ("neighbour", "neighbor"),
+    ("neighbours", "neighbors"), ("neighbourhood", "neighborhood"),
+    ("neighbouring", "neighboring"), ("odour", "odor"),
+    ("odours", "odors"), ("parlour", "parlor"), ("rancour", "rancor"),
+    ("rigour", "rigor"), ("rigours", "rigors"), ("rumour", "rumor"),
+    ("rumours", "rumors"), ("rumoured", "rumored"),
+    ("saviour", "savior"), ("savour", "savor"), ("savoury", "savory"),
+    ("splendour", "splendor"), ("tumour", "tumor"),
+    ("tumours", "tumors"), ("valour", "valor"), ("vapour", "vapor"),
+    ("vigour", "vigor"), ("watercolour", "watercolor"),
+    # -re / -er
+    ("amphitheatre", "amphitheater"), ("calibre", "caliber"),
+    ("centre", "center"), ("centres", "centers"), ("centred", "centered"),
+    ("centimetre", "centimeter"), ("centimetres", "centimeters"),
+    ("epicentre", "epicenter"), ("fibre", "fiber"), ("fibres", "fibers"),
+    ("fibreglass", "fiberglass"), ("kilometre", "kilometer"),
+    ("kilometres", "kilometers"), ("litre", "liter"), ("litres", "liters"),
+    ("lustre", "luster"), ("manoeuvre", "maneuver"),
+    ("manoeuvres", "maneuvers"), ("manoeuvring", "maneuvering"),
+    ("meagre", "meager"), ("metre", "meter"), ("metres", "meters"),
+    ("millimetre", "millimeter"), ("millimetres", "millimeters"),
+    ("mitre", "miter"), ("sabre", "saber"), ("sceptre", "scepter"),
+    ("sombre", "somber"), ("spectre", "specter"),
+    ("theatre", "theater"), ("theatres", "theaters"),
+    # -ll- / -l-
+    ("cancelled", "canceled"), ("cancelling", "canceling"),
+    ("channelled", "channeled"), ("chiselled", "chiseled"),
+    ("counselled", "counseled"), ("counselling", "counseling"),
+    ("counsellor", "counselor"), ("dialled", "dialed"),
+    ("duelled", "dueled"), ("equalled", "equaled"),
+    ("fuelled", "fueled"), ("fuelling", "fueling"),
+    ("funnelled", "funneled"), ("grovelled", "groveled"),
+    ("initialled", "initialed"), ("jewelled", "jeweled"),
+    ("jeweller", "jeweler"), ("jewellery", "jewelry"),
+    ("labelled", "labeled"), ("labelling", "labeling"),
+    ("levelled", "leveled"), ("libelled", "libeled"),
+    ("marshalled", "marshaled"), ("marvelled", "marveled"),
+    ("marvellous", "marvelous"), ("modelled", "modeled"),
+    ("modelling", "modeling"), ("panelled", "paneled"),
+    ("pedalled", "pedaled"), ("pencilled", "penciled"),
+    ("quarrelled", "quarreled"), ("revelled", "reveled"),
+    ("rivalled", "rivaled"), ("shovelled", "shoveled"),
+    ("shrivelled", "shriveled"), ("signalled", "signaled"),
+    ("snorkelled", "snorkeled"), ("spiralled", "spiraled"),
+    ("stencilled", "stenciled"), ("swivelled", "swiveled"),
+    ("towelled", "toweled"), ("travelled", "traveled"),
+    ("traveller", "traveler"), ("travellers", "travelers"),
+    ("travelling", "traveling"), ("tunnelled", "tunneled"),
+    ("unravelled", "unraveled"), ("yodelled", "yodeled"),
+    # single/double L irregulars
+    ("appal", "appall"), ("distil", "distill"), ("enrol", "enroll"),
+    ("enrolment", "enrollment"), ("enthral", "enthrall"),
+    ("fulfil", "fulfill"), ("fulfilment", "fulfillment"),
+    ("instal" + "ment", "install" + "ment"), ("instil", "instill"),
+    ("skilful", "skillful"), ("wilful", "willful"),
+    ("wilfully", "willfully"),
+    # ae / oe digraphs
+    ("anaemia", "anemia"), ("anaemic", "anemic"),
+    ("anaesthesia", "anesthesia"), ("anaesthetic", "anesthetic"),
+    ("archaeology", "archeology"), ("archaeologist", "archeologist"),
+    ("caesarean", "cesarean"), ("diarrhoea", "diarrhea"),
+    ("encyclopaedia", "encyclopedia"), ("faeces", "feces"),
+    ("foetal", "fetal"), ("foetus", "fetus"),
+    ("gynaecology", "gynecology"), ("haemoglobin", "hemoglobin"),
+    ("haemorrhage", "hemorrhage"), ("leukaemia", "leukemia"),
+    ("mediaeval", "medieval"), ("oedema", "edema"),
+    ("oesophagus", "esophagus"), ("oestrogen", "estrogen"),
+    ("orthopaedic", "orthopedic"), ("paediatric", "pediatric"),
+    ("paediatrician", "pediatrician"), ("palaeontology", "paleontology"),
+    # irregular tail
+    ("aeroplane", "airplane"), ("ageing", "aging"),
+    ("aluminium", "aluminum"), ("artefact", "artifact"),
+    ("axe", "ax"), ("carburettor", "carburetor"),
+    ("catalogue", "catalog"), ("catalogues", "catalogs"),
+    ("cheque", "check"), ("cheques", "checks"),
+    ("chequebook", "checkbook"), ("chilli", "chili"),
+    ("cosy", "cozy"), ("defence", "defense"), ("defences", "defenses"),
+    ("defenceless", "defenseless"), ("dialogue", "dialog"),
+    ("disc", "disk"), ("draught", "draft"), ("draughty", "drafty"),
+    ("dreamt", "dreamed"), ("enquire", "inquire"), ("enquiry", "inquiry"),
+    ("gaol", "jail"), ("gramme", "gram"), ("grey", "gray"),
+    ("judgement", "judgment"), ("kerb", "curb"), ("kerbside", "curbside"),
+    ("learnt", "learned"), ("licence", "license"),
+    ("mould", "mold"), ("mouldy", "moldy"), ("moustache", "mustache"),
+    ("offence", "offense"), ("offences", "offenses"),
+    ("omelette", "omelet"), ("plough", "plow"), ("ploughed", "plowed"),
+    ("practise", "practice"), ("practised", "practiced"),
+    ("practises", "practices"), ("practising", "practicing"),
+    ("pretence", "pretense"), ("programme", "program"),
+    ("programmes", "programs"), ("pyjamas", "pajamas"),
+    ("sceptic", "skeptic"), ("sceptical", "skeptical"),
+    ("scepticism", "skepticism"), ("smelt", "smelled"),
+    ("smoulder", "smolder"), ("speciality", "specialty"),
+    ("spelt", "spelled"), ("spilt", "spilled"), ("spoilt", "spoiled"),
+    ("storey", "story"), ("sulphur", "sulfur"), ("sulphate", "sulfate"),
+    ("sulphuric", "sulfuric"), ("titbit", "tidbit"),
+    ("tranquillity", "tranquility"), ("tyre", "tire"), ("tyres", "tires"),
+    ("whisky", "whiskey"), ("woollen", "woolen"), ("yoghurt", "yogurt"),
+]
+
+# words spelled identically in both dialects — the mapping must NOT touch
+# these (a wrong entry here corrupts correct American hypotheses/references)
+_INVARIANT_WORDS = [
+    "advertise", "advise", "arise", "chastise", "comprise", "compromise",
+    "concise", "demise", "despise", "devise", "disguise", "enterprise",
+    "exercise", "franchise", "improvise", "incise", "merchandise",
+    "premise", "promise", "revise", "supervise", "surmise", "surprise",
+    "televise", "size", "wise", "rise", "precise", "practice",
+    "greyhound", "analysis", "paralysis", "catalyst", "vigorous",
+    "humorous", "glamorous", "honorary", "laborious", "deterioration",
+    "color", "center", "organize", "realize", "traveled", "canceled",
+    "program", "checkbook", "iris", "basis", "crisis", "tennis",
+]
+
+
+def test_spelling_golden_pairs():
+    std = EnglishSpellingNormalizer()
+    misses = [
+        (gb, us, std(gb)) for gb, us in _GOLDEN_SPELLINGS if std(gb) != us
+    ]
+    assert not misses, f"{len(misses)} golden misses, first 10: {misses[:10]}"
+    assert len(_GOLDEN_SPELLINGS) >= 300
+
+
+def test_spelling_invariants():
+    std = EnglishSpellingNormalizer()
+    touched = [w for w in _INVARIANT_WORDS if std(w) != w]
+    assert not touched, f"US-correct words corrupted: {touched}"
+
+
+def test_spelling_asset_in_sync():
+    """assets/english.json is generated from the code tables; keep in sync."""
+    import json, os
+    from olmoasr_tpu.normalizers.build_spelling import build_mapping
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "olmoasr_tpu", "assets", "english.json"
+    )
+    with open(path, encoding="utf-8") as f:
+        asset = json.load(f)
+    assert asset == build_mapping()
+    assert len(asset) > 1700  # reconstruction target: whisper's ~1.7k entries
 
 
 def test_basic_normalizer():
