@@ -67,7 +67,9 @@ def _cross_decode_kernel(
     # expand per-head weights back to D lanes via the transpose expansion
     # matrix (H, D), then reduce over T (gather is unsupported in Mosaic)
     expand = jnp.where(h_ids.T == d_ids.T // dh, 1.0, 0.0).astype(dd)  # (H, D)
-    w_full = jnp.dot(w.astype(dd), expand, preferred_element_type=dd)  # (T, D)
+    w_full = jnp.dot(
+        w.astype(dd), expand, preferred_element_type=jnp.float32
+    ).astype(dd)  # (T, D)
     prod = w_full * v_ref[0, :, :].astype(dd)
     ones = jnp.ones((1, T), dd)
     o_ref[0, 0, :] = jnp.dot(
@@ -123,9 +125,10 @@ def _self_decode_body(
     if vs_ref is not None:
         w_old = w_old * vs_ref[0, 0, 0, :][:, None]  # fold v scale
     expand = jnp.where(h_ids.T == d_ids.T // dh, 1.0, 0.0).astype(dd)  # (H, D)
+    # Mosaic requires 32-bit matmul accumulators; cast the result down
     w_full = jnp.dot(
-        w_old.astype(dd), expand, preferred_element_type=dd
-    )  # (C, D)
+        w_old.astype(dd), expand, preferred_element_type=jnp.float32
+    ).astype(dd)  # (C, D)
     prod = w_full * v_ref[0, 0, :, :].astype(dd)  # (C, D)
     # reduce over C on the MXU (fp32 accumulation, no fp32 (C, D) temp)
     ones = jnp.ones((1, C), dd)
@@ -631,8 +634,8 @@ def _cross_block_kernel(
     bq_ref,  # (1, 1, D)
     wo_ref,  # (1, D, D)
     bo_ref,  # (1, 1, D)
-    ks_ref,  # (1, 1, T) f32 per-key k scales (ones when not quantized)
-    vs_ref,  # (1, 1, T)
+    ks_ref,  # (1, 1, 1, T) f32 per-key k scales (ones when not quantized)
+    vs_ref,  # (1, 1, 1, T)
     k_ref,  # (1, 1, T, D) int8 or bf16 cross keys, this batch row
     v_ref,  # (1, 1, T, D)
     o_ref,  # (1, 1, D) new residual stream
@@ -663,13 +666,15 @@ def _cross_block_kernel(
 
     k = k_ref[0, 0, :, :].astype(dd)  # int8 -> bf16 in VMEM, never via HBM
     logits = jnp.dot(k, qm.astype(dd), preferred_element_type=jnp.float32)
-    logits = logits * ks_ref[0, 0, :][:, None]  # per-key int8 scale
+    logits = logits * ks_ref[0, 0, 0, :][:, None]  # per-key int8 scale
 
     w = jax.nn.softmax(logits, axis=0)  # (T, H) fp32
-    w = w * vs_ref[0, 0, :][:, None]  # fold per-key v scale
+    w = w * vs_ref[0, 0, 0, :][:, None]  # fold per-key v scale
 
     expand = jnp.where(h_ids.T == d_ids.T // dh, 1.0, 0.0).astype(dd)  # (H, D)
-    w_full = jnp.dot(w.astype(dd), expand, preferred_element_type=dd)  # (T, D)
+    w_full = jnp.dot(
+        w.astype(dd), expand, preferred_element_type=jnp.float32
+    ).astype(dd)  # (T, D)
     prod = w_full * v_ref[0, 0, :, :].astype(dd)
     ones = jnp.ones((1, T), dd)
     attn = jnp.dot(ones, prod, preferred_element_type=jnp.float32)  # (1, D)
@@ -723,7 +728,6 @@ def cross_block_decode(
     row3 = lambda b, s: (b, 0, 0)
     lay3 = lambda b, s: (s[0], 0, 0)
     cache4 = lambda b, s: (s[0], b, 0, 0)
-    scale3 = lambda b, s: (s[0], b, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
@@ -735,8 +739,8 @@ def cross_block_decode(
             pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, D), lay3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T), scale3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T), scale3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, T), cache4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, T), cache4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, T, D), cache4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, T, D), cache4, memory_space=pltpu.VMEM),
         ],
@@ -755,6 +759,7 @@ def cross_block_decode(
         interpret=interpret,
     )(
         scalars, x, ln_g[:, None, :], ln_b[:, None, :], wq, bq[:, None, :],
-        wo, bo[:, None, :], ck_scale, cv_scale, ck, cv,
+        wo, bo[:, None, :], ck_scale[:, :, None, :], cv_scale[:, :, None, :],
+        ck, cv,
     )
     return out

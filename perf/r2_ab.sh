@@ -1,12 +1,8 @@
 #!/bin/bash
-# Round-2 perf A/B: serialized TPU runs (parallel procs contend on the tunnel)
 cd /root/repo
-echo "=== V1: cross megakernel ON (default), B=32 ==="
-OLMOASR_PALLAS_CROSS_BLOCK=1 python bench.py 2>&1 | tail -2
-echo "=== V0: cross megakernel OFF (r1 stack + bf16 self dots), B=32 ==="
-OLMOASR_PALLAS_CROSS_BLOCK=0 python bench.py 2>&1 | tail -2
-echo "=== V1 B=48 ==="
-OLMOASR_BENCH_BATCH=48 python bench.py 2>&1 | tail -2
-echo "=== V1 B=64 ==="
-OLMOASR_BENCH_BATCH=64 python bench.py 2>&1 | tail -2
+for cfg in "CROSS_BLOCK=1 BATCH=32" "CROSS_BLOCK=0 BATCH=32" "CROSS_BLOCK=1 BATCH=48" "CROSS_BLOCK=1 BATCH=64"; do
+  eval $cfg
+  echo "=== cross_block=$CROSS_BLOCK B=$BATCH ==="
+  OLMOASR_PALLAS_CROSS_BLOCK=$CROSS_BLOCK OLMOASR_BENCH_BATCH=$BATCH python bench.py 2>&1 | grep -E "metric|Error|error" | tail -3
+done
 echo "=== DONE ==="
