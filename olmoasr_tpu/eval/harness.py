@@ -109,8 +109,14 @@ def short_form_eval(
             audio_seconds += len(wav) / SAMPLE_RATE
             mels.append(log_mel_spectrogram_np(pad_or_trim(wav)))
             texts.append(item.text)
+        # pad the ragged last batch to batch_size so one XLA program serves
+        # every batch (a fresh shape costs a 3-10 min recompile through the
+        # remote-compile tunnel); padded rows are dropped from the results
+        n_real = len(mels)
+        if n_real < batch_size:
+            mels.extend([mels[-1]] * (batch_size - n_real))
         mel_batch = np.stack(mels)
-        results = model.decode(mel_batch, options)
+        results = model.decode(mel_batch, options)[:n_real]
         for item, text, res in zip(chunk, texts, results):
             ref = normalizer(text)
             hyp = normalizer(res.text)

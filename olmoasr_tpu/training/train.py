@@ -190,16 +190,25 @@ def shard_train_state(state: TrainState, mesh) -> Tuple[TrainState, Any]:
     p_shard = mesh_mod.param_shardings(state.params, mesh)
     rep = mesh_mod.replicated(mesh)
 
-    def opt_shard_of(leaf):
-        # optimizer moments mirror the param tree: reuse param shardings by
-        # shape match, else replicate
-        return rep
+    # Optimizer moments (adamw mu/nu) are created by ``tree_map(zeros_like,
+    # params)``, so they are SUBTREES with the exact treedef of params:
+    # substitute the whole param-sharding tree structurally. Shape-matching
+    # individual leaves (the round-1 approach) silently picks the wrong spec
+    # when two params share a shape but not a sharding.
+    p_struct = jax.tree.structure(state.params)
 
-    # optax adamw state contains pytrees shaped like params (mu, nu)
+    def _is_param_tree(node) -> bool:
+        if node is None:
+            return False
+        try:
+            return jax.tree.structure(node) == p_struct
+        except Exception:
+            return False
+
     def map_opt(tree):
-        return jax.tree.map(
-            lambda x: _matching_sharding(x, state.params, p_shard, rep), tree
-        )
+        leaves, treedef = jax.tree.flatten(tree, is_leaf=_is_param_tree)
+        out = [p_shard if _is_param_tree(leaf) else rep for leaf in leaves]
+        return jax.tree.unflatten(treedef, out)
 
     state_shardings = TrainState(
         params=p_shard,
@@ -208,17 +217,6 @@ def shard_train_state(state: TrainState, mesh) -> Tuple[TrainState, Any]:
     )
     sharded = jax.device_put(state, state_shardings)
     return sharded, state_shardings
-
-
-def _matching_sharding(x, params, p_shard, rep):
-    # moments have the same shapes as params; find a matching leaf sharding
-    flat_p = jax.tree.leaves(params)
-    flat_s = jax.tree.leaves(p_shard, is_leaf=lambda t: hasattr(t, "spec"))
-    if hasattr(x, "shape"):
-        for p, s in zip(flat_p, flat_s):
-            if p.shape == x.shape:
-                return s
-    return rep
 
 
 def make_sharded_train_step(

@@ -78,3 +78,54 @@ def test_train_loop_smoke_and_resume(shard_dir, tmp_path, monkeypatch):
     # resume: next run continues from the saved checkpoint
     metrics2 = train_loop.main(**{**kwargs, "max_steps_this_run": 2})
     assert metrics2["global_step"] == 5
+
+
+def test_train_loop_multihost_shard(shard_dir, tmp_path, monkeypatch):
+    """Simulated 2-process run (VERDICT r1 weak #10): host 1 must feed its
+    own loader shard and never write checkpoints; the loop must not crash on
+    the process_index()!=0 branches."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(train_loop, "_pindex", lambda: 1)
+    monkeypatch.setattr(train_loop, "_pcount", lambda: 2)
+    metrics = train_loop.main(
+        variant=TINY,
+        train_shards=str(shard_dir / "*.jsonl.gz"),
+        exp_name="mh",
+        train_steps=100,
+        eff_batch_size=16,
+        micro_batch_size=2,
+        fsdp_size=2,
+        remat=False,
+        ckpt_dir=str(tmp_path / "ckpts_mh"),
+        ckpt_every=0,
+        log_every=1,
+        eval_every=1,
+        max_steps_this_run=2,
+    )
+    assert metrics["global_step"] == 2
+    assert np.isfinite(metrics["train/loss"])
+    # host 1 never runs the (rank-gated) eval path: no eval npz artifacts
+    import glob as _glob
+
+    assert not _glob.glob(str(tmp_path / "ckpts_mh" / "mh" / "eval_*.npz"))
+
+
+def test_batch_loader_two_shards_disjoint_and_covering(shard_dir):
+    from olmoasr_tpu.training.dataset import (
+        AudioTextDataset,
+        BatchLoader,
+        load_jsonl_samples,
+    )
+
+    samples = load_jsonl_samples([str(shard_dir / "shard0.jsonl.gz")])
+    ds = AudioTextDataset(samples, 448, seed=0)
+    seen = []
+    for sid in (0, 1):
+        loader = BatchLoader(
+            ds, micro_batch_size=4, accum_steps=1, seed=0,
+            shard_id=sid, num_shards=2, num_workers=0,
+        )
+        loader.set_epoch(0)
+        seen.append(set(int(i) for i in loader._indices()))
+    assert seen[0].isdisjoint(seen[1])
+    assert len(seen[0] | seen[1]) >= len(ds) - (len(ds) % (2 * 4))
