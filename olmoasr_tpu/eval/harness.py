@@ -149,9 +149,17 @@ def long_form_eval(
     normalizer=None,
     beam_size: int = 5,
     best_of: int = 5,
+    batch_size: int = 8,
     verbose: bool = False,
 ) -> EvalResult:
-    """Per-file transcribe evaluation with beam search (eval.py:1906-2139)."""
+    """Long-form transcribe evaluation with beam search (eval.py:1906-2139).
+
+    Files are transcribed ``batch_size`` at a time via ``transcribe_many``
+    (each decode call batches the current windows of all active files; only
+    fallback failures re-queue) — the reference loops ``model.transcribe``
+    one file at a time on GPU."""
+    from olmoasr_tpu.transcribe import transcribe_many
+
     normalizer = normalizer or EnglishTextNormalizer()
     items = DatasetFactory.create_loader(eval_set, eval_dir).load()
     if max_samples:
@@ -162,22 +170,27 @@ def long_form_eval(
     refs, hyps, per_sample = [], [], []
     audio_seconds = 0.0
     t0 = time.perf_counter()
-    for item in items:
-        wav = _item_waveform(item)
-        audio_seconds += len(wav) / SAMPLE_RATE
-        out = model.transcribe(
-            wav, beam_size=beam_size, best_of=best_of, verbose=None,
+    for i in range(0, len(items), batch_size):
+        chunk = items[i : i + batch_size]
+        wavs = [_item_waveform(item) for item in chunk]
+        audio_seconds += sum(len(w) for w in wavs) / SAMPLE_RATE
+        outs = transcribe_many(
+            model, wavs, batch_size=batch_size,
+            beam_size=beam_size, best_of=best_of, verbose=None,
         )
-        ref = normalizer(item.text)
-        hyp = normalizer(out["text"])
-        if not ref.strip():
-            continue
-        refs.append(ref)
-        hyps.append(hyp)
-        m = compute_measures(ref, hyp)
-        per_sample.append({"id": item.id, "ref": ref, "hyp": hyp, "wer": m.wer})
-        if verbose:
-            print(f"wer={m.wer:.3f} {str(item.audio)[-40:]}")
+        for item, out in zip(chunk, outs):
+            ref = normalizer(item.text)
+            hyp = normalizer(out["text"])
+            if not ref.strip():
+                continue
+            refs.append(ref)
+            hyps.append(hyp)
+            m = compute_measures(ref, hyp)
+            per_sample.append(
+                {"id": item.id, "ref": ref, "hyp": hyp, "wer": m.wer}
+            )
+            if verbose:
+                print(f"wer={m.wer:.3f} {str(item.audio)[-40:]}")
 
     wall = time.perf_counter() - t0
     m = compute_measures(refs, hyps)

@@ -57,19 +57,13 @@ def _cross_decode_kernel(
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
     qm = jnp.where(d_ids // dh == h_ids, q[:, None], 0.0)  # (D, H) fp32
 
-    k = k_ref[0, :, :].astype(dd)  # int8 -> bf16/fp32 inside VMEM
-    logits = jnp.dot(k, qm.astype(dd), preferred_element_type=jnp.float32)
+    logits = _qk_logits(k_ref[0, :, :], qm, dd)  # (T, H)
     logits = logits * ks_ref[0, 0, :][:, None]  # per-key int8 scale
 
     w = jax.nn.softmax(logits, axis=0)  # (T, H), fp32
     w = w * vs_ref[0, 0, :][:, None]  # fold per-key v scale
 
-    # expand per-head weights back to D lanes via the transpose expansion
-    # matrix (H, D), then reduce over T (gather is unsupported in Mosaic)
-    expand = jnp.where(h_ids.T == d_ids.T // dh, 1.0, 0.0).astype(dd)  # (H, D)
-    w_full = jnp.dot(
-        w.astype(dd), expand, preferred_element_type=jnp.float32
-    ).astype(dd)  # (T, D)
+    w_full = _expand_heads(w, n_head, dh, dd)  # (T, D)
     prod = w_full * v_ref[0, :, :].astype(dd)
     ones = jnp.ones((1, T), dd)
     o_ref[0, 0, :] = jnp.dot(
@@ -83,6 +77,42 @@ def _dot_dtype(q_dtype) -> jnp.dtype:
     128 lanes, so fp32 here cost ~4x for nothing — GPU whisper computes these
     dots in fp16 anyway), exact fp32 otherwise (CPU tests, fp32 decode)."""
     return jnp.bfloat16 if q_dtype == jnp.bfloat16 else jnp.float32
+
+
+def _expand_heads(w, n_head: int, dh: int, dtype):
+    """(T, H) per-head weights -> (T, H*dh) lane-expanded, via broadcast +
+    reshape (pure VPU data movement). Profiled against the expand-matrix
+    matmul: the (T, 128-padded-H) @ (H, D) MXU dot was ~1.5us/program — a
+    third of the cross kernel's compute budget — for what is just a copy."""
+    T, H = w.shape
+    return jnp.broadcast_to(w.astype(dtype)[:, :, None], (T, H, dh)).reshape(
+        T, H * dh
+    )
+
+
+def _qk_logits(k_ref_slice, qm, dd):
+    """Per-head q.K logits against a (T, D) key block.
+
+    int8 keys take the native int8 MXU path (2x bf16 rate, and the (T, D)
+    int8->bf16 convert disappears): quantize the block-structured qm per head
+    (the only nonzeros in column h are head h's 64 lanes), accumulate in s32,
+    rescale by the per-head q scale. The q quantization error (<1% relative,
+    on top of the K cache's own int8 error) only applies on the bf16
+    production path — fp32 callers keep the exact dequantized dot.
+    Returns logits BEFORE the per-key k-scale multiply.
+    """
+    if k_ref_slice.dtype == jnp.int8 and dd == jnp.bfloat16:
+        amax = jnp.max(jnp.abs(qm), axis=0, keepdims=True)  # (1, H)
+        qscale = jnp.maximum(amax, 1e-20) / 127.0
+        qm_s8 = jnp.clip(jnp.round(qm / qscale), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            k_ref_slice, qm_s8,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (T, H) s32
+        return acc.astype(jnp.float32) * qscale
+    k = k_ref_slice.astype(dd)
+    return jnp.dot(k, qm.astype(dd), preferred_element_type=jnp.float32)
 
 
 def _self_decode_body(
@@ -101,10 +131,7 @@ def _self_decode_body(
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
     qm = jnp.where(d_ids // dh == h_ids, q[:, None], 0.0)  # (D, H)
 
-    k = k_ref[0, 0, :, :].astype(dd)
-    logits = jnp.dot(
-        k, qm.astype(dd), preferred_element_type=jnp.float32
-    )  # (C, H)
+    logits = _qk_logits(k_ref[0, 0, :, :], qm, dd)  # (C, H)
     if ks_ref is not None:
         logits = logits * ks_ref[0, 0, 0, :][:, None]  # per-position int8 scale
     pos = jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 0)
@@ -124,18 +151,12 @@ def _self_decode_body(
 
     if vs_ref is not None:
         w_old = w_old * vs_ref[0, 0, 0, :][:, None]  # fold v scale
-    expand = jnp.where(h_ids.T == d_ids.T // dh, 1.0, 0.0).astype(dd)  # (H, D)
-    # Mosaic requires 32-bit matmul accumulators; cast the result down
-    w_full = jnp.dot(
-        w_old.astype(dd), expand, preferred_element_type=jnp.float32
-    ).astype(dd)  # (C, D)
+    w_full = _expand_heads(w_old, n_head, dh, dd)  # (C, D)
     prod = w_full * v_ref[0, 0, :, :].astype(dd)  # (C, D)
     # reduce over C on the MXU (fp32 accumulation, no fp32 (C, D) temp)
     ones = jnp.ones((1, C), dd)
     out = jnp.dot(ones, prod, preferred_element_type=jnp.float32)[0]  # (D,)
-    wn_full = jnp.dot(
-        w_new.astype(dd), expand, preferred_element_type=jnp.float32
-    )  # (1, D)
+    wn_full = _expand_heads(w_new, n_head, dh, jnp.float32)  # (1, D)
     out = out + wn_full[0] * vn_ref[0, 0, :].astype(jnp.float32)
     o_ref[0, 0, :] = out.astype(o_ref.dtype)
 
@@ -664,17 +685,13 @@ def _cross_block_kernel(
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
     qm = jnp.where(d_ids // dh == h_ids, q[:, None], 0.0)  # (D, H) fp32
 
-    k = k_ref[0, 0, :, :].astype(dd)  # int8 -> bf16 in VMEM, never via HBM
-    logits = jnp.dot(k, qm.astype(dd), preferred_element_type=jnp.float32)
+    logits = _qk_logits(k_ref[0, 0, :, :], qm, dd)  # (T, H); int8 MXU path
     logits = logits * ks_ref[0, 0, 0, :][:, None]  # per-key int8 scale
 
     w = jax.nn.softmax(logits, axis=0)  # (T, H) fp32
     w = w * vs_ref[0, 0, 0, :][:, None]  # fold per-key v scale
 
-    expand = jnp.where(h_ids.T == d_ids.T // dh, 1.0, 0.0).astype(dd)  # (H, D)
-    w_full = jnp.dot(
-        w.astype(dd), expand, preferred_element_type=jnp.float32
-    ).astype(dd)  # (T, D)
+    w_full = _expand_heads(w, n_head, dh, dd)  # (T, D)
     prod = w_full * v_ref[0, 0, :, :].astype(dd)
     ones = jnp.ones((1, T), dd)
     attn = jnp.dot(ones, prod, preferred_element_type=jnp.float32)  # (1, D)

@@ -38,181 +38,166 @@ if TYPE_CHECKING:
     from olmoasr_tpu.api import OLMoASR
 
 
-def transcribe(
-    model: "OLMoASR",
-    audio: Union[str, np.ndarray],
-    *,
-    verbose: Optional[bool] = None,
-    temperature: Union[float, Tuple[float, ...]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
-    compression_ratio_threshold: Optional[float] = 2.4,
-    logprob_threshold: Optional[float] = -1.0,
-    no_speech_threshold: Optional[float] = 0.6,
-    condition_on_previous_text: bool = True,
-    initial_prompt: Optional[str] = None,
-    carry_initial_prompt: bool = False,
-    word_timestamps: bool = False,
-    prepend_punctuations: str = "\"'“¿([{-",
-    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
-    clip_timestamps: Union[str, List[float]] = "0",
-    hallucination_silence_threshold: Optional[float] = None,
-    **decode_options,
-):
-    """Transcribe audio of arbitrary length. Returns ``{text, segments, language}``
-    with the segment schema of ``/root/reference/README.md:193-247``."""
-    # Pad 30 seconds of silence to the input audio, for slicing
-    mel = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
-    mel = np.asarray(mel)
-    content_frames = mel.shape[-1] - N_FRAMES
-    content_duration = float(content_frames * HOP_LENGTH / SAMPLE_RATE)
+class _FileState:
+    """Per-file long-form state machine: the sliding-window seek loop of
+    reference ``transcribe.py:276-523`` split into ``current_window()`` (emit
+    the next 30s mel window, or None when done) and ``consume(result)``
+    (advance seek, cut timestamp segments, apply heuristics).
 
-    if decode_options.get("language", None) is None:
-        if not model.is_multilingual:
-            decode_options["language"] = "en"
-        else:
-            mel_segment = pad_or_trim(mel, N_FRAMES, axis=-1)
-            _, probs = model.detect_language(jnp.asarray(mel_segment))
-            decode_options["language"] = max(probs, key=probs.get)
-            if verbose is not None:
-                print(
-                    f"Detected language: {LANGUAGES[decode_options['language']].title()}"
-                )
+    The split is what enables batching ACROSS files (SURVEY §7.2): a driver
+    collects one pending window from each active file, decodes them in one
+    batched call, and feeds each result back.
+    """
 
-    language: str = decode_options["language"]
-    task: str = decode_options.get("task", "transcribe")
-    tokenizer = get_tokenizer(
-        model.is_multilingual,
-        num_languages=model.num_languages,
-        language=language,
-        task=task,
-    )
+    def __init__(
+        self,
+        model: "OLMoASR",
+        audio: Union[str, np.ndarray],
+        tokenizer,
+        *,
+        verbose: Optional[bool],
+        compression_ratio_threshold: Optional[float],
+        logprob_threshold: Optional[float],
+        no_speech_threshold: Optional[float],
+        condition_on_previous_text: bool,
+        initial_prompt: Optional[str],
+        word_timestamps: bool,
+        prepend_punctuations: str,
+        append_punctuations: str,
+        clip_timestamps: Union[str, List[float]],
+        hallucination_silence_threshold: Optional[float],
+        language: str,
+    ):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.verbose = verbose
+        self.compression_ratio_threshold = compression_ratio_threshold
+        self.logprob_threshold = logprob_threshold
+        self.no_speech_threshold = no_speech_threshold
+        self.condition_on_previous_text = condition_on_previous_text
+        self.word_timestamps = word_timestamps
+        self.prepend_punctuations = prepend_punctuations
+        self.append_punctuations = append_punctuations
+        self.hallucination_silence_threshold = hallucination_silence_threshold
+        self.language = language
+        self.punctuation = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
 
-    if isinstance(clip_timestamps, str):
-        clip_timestamps = [
-            float(ts) for ts in (clip_timestamps.split(",") if clip_timestamps else [])
-        ]
-    seek_points: List[int] = [round(ts * FRAMES_PER_SECOND) for ts in clip_timestamps]
-    if len(seek_points) == 0:
-        seek_points.append(0)
-    if len(seek_points) % 2 == 1:
-        seek_points.append(content_frames)
-    seek_clips: List[Tuple[int, int]] = list(zip(seek_points[::2], seek_points[1::2]))
-
-    punctuation = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
-
-    if word_timestamps and task == "translate":
-        warnings.warn("Word-level timestamps on translations may not be reliable.")
-
-    def decode_with_fallback(segment: np.ndarray) -> DecodingResult:
-        """Temperature ladder 0→1.0, gated on compression ratio / avg logprob
-        (transcribe.py:193-233)."""
-        temperatures = (
-            [temperature] if isinstance(temperature, (int, float)) else temperature
+        # Pad 30 seconds of silence to the input audio, for slicing
+        mel = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
+        self.mel = np.asarray(mel)
+        self.content_frames = self.mel.shape[-1] - N_FRAMES
+        self.content_duration = float(
+            self.content_frames * HOP_LENGTH / SAMPLE_RATE
         )
-        decode_result = None
-        for t in temperatures:
-            kwargs = {**decode_options}
-            if t > 0:
-                kwargs.pop("beam_size", None)
-                kwargs.pop("patience", None)
-            else:
-                kwargs.pop("best_of", None)
 
-            options = DecodingOptions(**kwargs, temperature=t)
-            decode_result = model.decode(jnp.asarray(segment), options)
+        if isinstance(clip_timestamps, str):
+            clip_timestamps = [
+                float(ts)
+                for ts in (clip_timestamps.split(",") if clip_timestamps else [])
+            ]
+        seek_points = [round(ts * FRAMES_PER_SECOND) for ts in clip_timestamps]
+        if len(seek_points) == 0:
+            seek_points.append(0)
+        if len(seek_points) % 2 == 1:
+            seek_points.append(self.content_frames)
+        self.seek_clips: List[Tuple[int, int]] = list(
+            zip(seek_points[::2], seek_points[1::2])
+        )
 
-            needs_fallback = False
-            if (
-                compression_ratio_threshold is not None
-                and decode_result.compression_ratio > compression_ratio_threshold
-            ):
-                needs_fallback = True  # too repetitive
-            if (
-                logprob_threshold is not None
-                and decode_result.avg_logprob < logprob_threshold
-            ):
-                needs_fallback = True  # average log probability too low
-            if (
-                no_speech_threshold is not None
-                and decode_result.no_speech_prob > no_speech_threshold
-                and logprob_threshold is not None
-                and decode_result.avg_logprob < logprob_threshold
-            ):
-                needs_fallback = False  # silence
-            if not needs_fallback:
-                break
-        return decode_result
+        self.clip_idx = 0
+        self.seek = self.seek_clips[0][0]
+        self.input_stride = exact_div(N_FRAMES, model.dims.n_audio_ctx)
+        self.time_precision = self.input_stride * HOP_LENGTH / SAMPLE_RATE
+        self.all_tokens: List[int] = []
+        self.all_segments: List[dict] = []
+        self.prompt_reset_since = 0
+        self.last_speech_timestamp = 0.0
 
-    clip_idx = 0
-    seek = seek_clips[clip_idx][0]
-    input_stride = exact_div(N_FRAMES, model.dims.n_audio_ctx)  # 2 mel frames/token
-    time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE  # 0.02 s/token
-    all_tokens: List[int] = []
-    all_segments: List[dict] = []
-    prompt_reset_since = 0
+        if initial_prompt is not None:
+            self.initial_prompt_tokens = tokenizer.encode(
+                " " + initial_prompt.strip()
+            )
+            self.all_tokens.extend(self.initial_prompt_tokens)
+        else:
+            self.initial_prompt_tokens = []
 
-    remaining_prompt_length = model.dims.n_text_ctx // 2 - 1
-    if initial_prompt is not None:
-        initial_prompt_tokens = tokenizer.encode(" " + initial_prompt.strip())
-        all_tokens.extend(initial_prompt_tokens)
-        remaining_prompt_length -= len(initial_prompt_tokens)
-    else:
-        initial_prompt_tokens = []
+        # window-scoped scratch set by current_window()
+        self._segment_size = 0
+        self._mel_segment: Optional[np.ndarray] = None
 
-    def new_segment(*, start: float, end: float, tokens, result: DecodingResult):
-        tokens = [int(t) for t in tokens]
-        text_tokens = [t for t in tokens if t < tokenizer.eot]
-        return {
-            "seek": seek,
-            "start": start,
-            "end": end,
-            "text": tokenizer.decode(text_tokens),
-            "tokens": tokens,
-            "temperature": result.temperature,
-            "avg_logprob": result.avg_logprob,
-            "compression_ratio": result.compression_ratio,
-            "no_speech_prob": result.no_speech_prob,
-        }
+    # -- window emission -----------------------------------------------------
 
-    last_speech_timestamp = 0.0
-    # flattened nested loop over seek clips (transcribe.py:276-291 semantics)
-    while clip_idx < len(seek_clips):
-        seek_clip_start, seek_clip_end = seek_clips[clip_idx]
-        if seek < seek_clip_start:
-            seek = seek_clip_start
-        if seek >= seek_clip_end:
-            clip_idx += 1
-            if clip_idx < len(seek_clips):
-                seek = seek_clips[clip_idx][0]
-            continue
+    def current_window(self) -> Optional[np.ndarray]:
+        """The next 30s mel window (advancing clip bookkeeping), or None."""
+        while self.clip_idx < len(self.seek_clips):
+            seek_clip_start, seek_clip_end = self.seek_clips[self.clip_idx]
+            if self.seek < seek_clip_start:
+                self.seek = seek_clip_start
+            if self.seek >= seek_clip_end:
+                self.clip_idx += 1
+                if self.clip_idx < len(self.seek_clips):
+                    self.seek = self.seek_clips[self.clip_idx][0]
+                continue
+            segment_size = min(
+                N_FRAMES, self.content_frames - self.seek,
+                seek_clip_end - self.seek,
+            )
+            mel_segment = self.mel[:, self.seek : self.seek + segment_size]
+            mel_segment = pad_or_trim(mel_segment, N_FRAMES, axis=-1).astype(
+                np.float32
+            )
+            self._segment_size = segment_size
+            self._mel_segment = mel_segment
+            return mel_segment
+        return None
+
+    @property
+    def done(self) -> bool:
+        return self.clip_idx >= len(self.seek_clips)
+
+    # -- result consumption ---------------------------------------------------
+
+    def consume(self, result: DecodingResult) -> None:
+        """Apply a decode result for the window last emitted by
+        ``current_window()`` (reference transcribe.py:303-523)."""
+        tokenizer = self.tokenizer
+        segment_size = self._segment_size
+        seek = self.seek
         time_offset = float(seek * HOP_LENGTH / SAMPLE_RATE)
         window_end_time = float((seek + N_FRAMES) * HOP_LENGTH / SAMPLE_RATE)
-        segment_size = min(N_FRAMES, content_frames - seek, seek_clip_end - seek)
-        mel_segment = mel[:, seek : seek + segment_size]
         segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
-        mel_segment = pad_or_trim(mel_segment, N_FRAMES, axis=-1).astype(np.float32)
-
-        # NOTE: prompt-conditioning is intentionally NOT fed to decode —
-        # the reference disables it (transcribe.py:297-302, 512-514).
-
-        result: DecodingResult = decode_with_fallback(mel_segment)
         tokens = np.array(result.tokens)
 
-        if no_speech_threshold is not None:
+        def new_segment(*, start, end, tokens_, result):
+            tokens_ = [int(t) for t in tokens_]
+            text_tokens = [t for t in tokens_ if t < tokenizer.eot]
+            return {
+                "seek": seek,
+                "start": start,
+                "end": end,
+                "text": tokenizer.decode(text_tokens),
+                "tokens": tokens_,
+                "temperature": result.temperature,
+                "avg_logprob": result.avg_logprob,
+                "compression_ratio": result.compression_ratio,
+                "no_speech_prob": result.no_speech_prob,
+            }
+
+        if self.no_speech_threshold is not None:
             # no voice activity check
-            should_skip = result.no_speech_prob > no_speech_threshold
+            should_skip = result.no_speech_prob > self.no_speech_threshold
             if (
-                logprob_threshold is not None
-                and result.avg_logprob > logprob_threshold
+                self.logprob_threshold is not None
+                and result.avg_logprob > self.logprob_threshold
             ):
                 should_skip = False
             if should_skip:
-                seek += segment_size  # fast-forward to the next segment boundary
-                continue
+                self.seek += segment_size  # fast-forward to the next boundary
+                return
 
         previous_seek = seek
-        current_segments = []
+        current_segments: List[dict] = []
 
-        # anomalous words are very long/short/improbable
         def word_anomaly_score(word: dict) -> float:
             probability = word.get("probability", 0.0)
             duration = word["end"] - word["start"]
@@ -228,7 +213,9 @@ def transcribe(
         def is_segment_anomaly(segment: Optional[dict]) -> bool:
             if segment is None or not segment["words"]:
                 return False
-            words = [w for w in segment["words"] if w["word"] not in punctuation]
+            words = [
+                w for w in segment["words"] if w["word"] not in self.punctuation
+            ]
             words = words[:8]
             score = sum(word_anomaly_score(w) for w in words)
             return score >= 3 or score + 0.01 >= len(words)
@@ -251,85 +238,96 @@ def transcribe(
             last_slice = 0
             for current_slice in slices:
                 sliced_tokens = tokens[last_slice:current_slice]
-                start_timestamp_pos = int(sliced_tokens[0]) - tokenizer.timestamp_begin
-                end_timestamp_pos = int(sliced_tokens[-1]) - tokenizer.timestamp_begin
+                start_timestamp_pos = (
+                    int(sliced_tokens[0]) - tokenizer.timestamp_begin
+                )
+                end_timestamp_pos = (
+                    int(sliced_tokens[-1]) - tokenizer.timestamp_begin
+                )
                 current_segments.append(
                     new_segment(
-                        start=time_offset + start_timestamp_pos * time_precision,
-                        end=time_offset + end_timestamp_pos * time_precision,
-                        tokens=sliced_tokens,
+                        start=time_offset + start_timestamp_pos * self.time_precision,
+                        end=time_offset + end_timestamp_pos * self.time_precision,
+                        tokens_=sliced_tokens,
                         result=result,
                     )
                 )
                 last_slice = current_slice
             if single_timestamp_ending:
                 # no speech after the last timestamp
-                seek += segment_size
+                self.seek += segment_size
             else:
                 # ignore the unfinished segment; seek to the last timestamp
                 last_timestamp_pos = (
                     int(tokens[last_slice - 1]) - tokenizer.timestamp_begin
                 )
-                seek += last_timestamp_pos * input_stride
+                self.seek += last_timestamp_pos * self.input_stride
         else:
             duration = segment_duration
             timestamps = tokens[np.nonzero(timestamp_tokens)[0]]
-            if len(timestamps) > 0 and int(timestamps[-1]) != tokenizer.timestamp_begin:
-                last_timestamp_pos = int(timestamps[-1]) - tokenizer.timestamp_begin
-                duration = last_timestamp_pos * time_precision
+            if (
+                len(timestamps) > 0
+                and int(timestamps[-1]) != tokenizer.timestamp_begin
+            ):
+                last_timestamp_pos = (
+                    int(timestamps[-1]) - tokenizer.timestamp_begin
+                )
+                duration = last_timestamp_pos * self.time_precision
             current_segments.append(
                 new_segment(
                     start=time_offset,
                     end=time_offset + duration,
-                    tokens=tokens,
+                    tokens_=tokens,
                     result=result,
                 )
             )
-            seek += segment_size
+            self.seek += segment_size
 
-        if word_timestamps:
+        if self.word_timestamps:
             from olmoasr_tpu.timing import add_word_timestamps
 
             add_word_timestamps(
                 segments=current_segments,
-                model=model,
+                model=self.model,
                 tokenizer=tokenizer,
-                mel=jnp.asarray(mel_segment),
+                mel=jnp.asarray(self._mel_segment),
                 num_frames=segment_size,
-                prepend_punctuations=prepend_punctuations,
-                append_punctuations=append_punctuations,
-                last_speech_timestamp=last_speech_timestamp,
+                prepend_punctuations=self.prepend_punctuations,
+                append_punctuations=self.append_punctuations,
+                last_speech_timestamp=self.last_speech_timestamp,
             )
             if not single_timestamp_ending:
                 last_word_end = _get_end(current_segments)
                 if last_word_end is not None and last_word_end > time_offset:
-                    seek = round(last_word_end * FRAMES_PER_SECOND)
+                    self.seek = round(last_word_end * FRAMES_PER_SECOND)
 
-            if hallucination_silence_threshold is not None:
-                threshold = hallucination_silence_threshold
+            if self.hallucination_silence_threshold is not None:
+                threshold = self.hallucination_silence_threshold
                 if not single_timestamp_ending:
                     last_word_end = _get_end(current_segments)
                     if last_word_end is not None and last_word_end > time_offset:
                         remaining_duration = window_end_time - last_word_end
                         if remaining_duration > threshold:
-                            seek = round(last_word_end * FRAMES_PER_SECOND)
+                            self.seek = round(last_word_end * FRAMES_PER_SECOND)
                         else:
-                            seek = previous_seek + segment_size
+                            self.seek = previous_seek + segment_size
 
                 first_segment = next_words_segment(current_segments)
                 if first_segment is not None and is_segment_anomaly(first_segment):
                     gap = first_segment["start"] - time_offset
                     if gap > threshold:
-                        seek = previous_seek + round(gap * FRAMES_PER_SECOND)
-                        continue
+                        self.seek = previous_seek + round(gap * FRAMES_PER_SECOND)
+                        return
 
-                hal_last_end = last_speech_timestamp
+                hal_last_end = self.last_speech_timestamp
                 for si in range(len(current_segments)):
                     segment = current_segments[si]
                     if not segment["words"]:
                         continue
                     if is_segment_anomaly(segment):
-                        next_segment = next_words_segment(current_segments[si + 1 :])
+                        next_segment = next_words_segment(
+                            current_segments[si + 1 :]
+                        )
                         if next_segment is not None:
                             hal_next_start = next_segment["words"][0]["start"]
                         else:
@@ -345,24 +343,26 @@ def transcribe(
                             or window_end_time - segment["end"] < 2.0
                         )
                         if silence_before and silence_after:
-                            seek = round(
+                            self.seek = round(
                                 max(time_offset + 1, segment["start"])
                                 * FRAMES_PER_SECOND
                             )
-                            if content_duration - segment["end"] < threshold:
-                                seek = content_frames
+                            if self.content_duration - segment["end"] < threshold:
+                                self.seek = self.content_frames
                             current_segments[si:] = []
                             break
                     hal_last_end = segment["end"]
 
             last_word_end = _get_end(current_segments)
             if last_word_end is not None:
-                last_speech_timestamp = last_word_end
+                self.last_speech_timestamp = last_word_end
 
-        if verbose:
+        if self.verbose:
             for segment in current_segments:
                 start, end, text = segment["start"], segment["end"], segment["text"]
-                line = f"[{format_timestamp(start)} --> {format_timestamp(end)}] {text}"
+                line = (
+                    f"[{format_timestamp(start)} --> {format_timestamp(end)}] {text}"
+                )
                 print(make_safe(line))
 
         # an instantaneous or empty segment is cleared
@@ -372,24 +372,261 @@ def transcribe(
                 segment["tokens"] = []
                 segment["words"] = []
 
-        all_segments.extend(
-            [
-                {"id": i, **segment}
-                for i, segment in enumerate(current_segments, start=len(all_segments))
-            ]
+        self.all_segments.extend(
+            {"id": i, **segment}
+            for i, segment in enumerate(
+                current_segments, start=len(self.all_segments)
+            )
         )
-        all_tokens.extend(
-            [token for segment in current_segments for token in segment["tokens"]]
+        self.all_tokens.extend(
+            token for segment in current_segments for token in segment["tokens"]
         )
 
-        if not condition_on_previous_text or result.temperature > 0.5:
-            prompt_reset_since = len(all_tokens)
+        if not self.condition_on_previous_text or result.temperature > 0.5:
+            self.prompt_reset_since = len(self.all_tokens)
 
-    return dict(
-        text=tokenizer.decode(all_tokens[len(initial_prompt_tokens) :]),
-        segments=all_segments,
-        language=language,
+    def finalize(self) -> dict:
+        return dict(
+            text=self.tokenizer.decode(
+                self.all_tokens[len(self.initial_prompt_tokens) :]
+            ),
+            segments=self.all_segments,
+            language=self.language,
+        )
+
+
+def _resolve_language(model, mel_or_audio, decode_options, verbose):
+    if decode_options.get("language", None) is None:
+        if not model.is_multilingual:
+            decode_options["language"] = "en"
+        else:
+            mel = log_mel_spectrogram(mel_or_audio, model.dims.n_mels, padding=N_SAMPLES)
+            mel_segment = pad_or_trim(np.asarray(mel), N_FRAMES, axis=-1)
+            _, probs = model.detect_language(jnp.asarray(mel_segment))
+            decode_options["language"] = max(probs, key=probs.get)
+            if verbose is not None:
+                print(
+                    f"Detected language: {LANGUAGES[decode_options['language']].title()}"
+                )
+    return decode_options["language"]
+
+
+def _needs_fallback(
+    result: DecodingResult,
+    compression_ratio_threshold: Optional[float],
+    logprob_threshold: Optional[float],
+    no_speech_threshold: Optional[float],
+) -> bool:
+    """Fallback gates of reference transcribe.py:205-231."""
+    needs = False
+    if (
+        compression_ratio_threshold is not None
+        and result.compression_ratio > compression_ratio_threshold
+    ):
+        needs = True  # too repetitive
+    if logprob_threshold is not None and result.avg_logprob < logprob_threshold:
+        needs = True  # average log probability too low
+    if (
+        no_speech_threshold is not None
+        and result.no_speech_prob > no_speech_threshold
+        and logprob_threshold is not None
+        and result.avg_logprob < logprob_threshold
+    ):
+        needs = False  # silence
+    return needs
+
+
+def _decode_batch_with_fallback(
+    model: "OLMoASR",
+    windows: List[np.ndarray],
+    temperatures: List[float],
+    decode_options: dict,
+    *,
+    compression_ratio_threshold: Optional[float],
+    logprob_threshold: Optional[float],
+    no_speech_threshold: Optional[float],
+    pad_to: Optional[int] = None,
+) -> List[DecodingResult]:
+    """Batched temperature-fallback ladder (SURVEY §7.2): decode ALL windows
+    at t=0 in one batched call, then re-queue only the failures at each higher
+    temperature. ``pad_to`` pads every batch to a fixed row count so one XLA
+    program serves all rounds (3-10 min per fresh shape on the remote tunnel).
+    """
+    n = len(windows)
+    results: List[Optional[DecodingResult]] = [None] * n
+    pending = list(range(n))
+    for ti, t in enumerate(temperatures):
+        if not pending:
+            break
+        kwargs = {**decode_options}
+        if t > 0:
+            kwargs.pop("beam_size", None)
+            kwargs.pop("patience", None)
+        else:
+            kwargs.pop("best_of", None)
+        options = DecodingOptions(**kwargs, temperature=t)
+
+        batch = [windows[i] for i in pending]
+        n_real = len(batch)
+        if pad_to and n_real < pad_to:
+            batch.extend([batch[-1]] * (pad_to - n_real))
+        out = model.decode(jnp.asarray(np.stack(batch)), options)
+        if not isinstance(out, list):
+            out = [out]
+        out = out[:n_real]
+
+        still = []
+        last = ti == len(temperatures) - 1
+        for i, r in zip(pending, out):
+            results[i] = r
+            if not last and _needs_fallback(
+                r, compression_ratio_threshold, logprob_threshold,
+                no_speech_threshold,
+            ):
+                still.append(i)
+        pending = still
+    return results  # type: ignore[return-value]
+
+
+def transcribe(
+    model: "OLMoASR",
+    audio: Union[str, np.ndarray],
+    *,
+    verbose: Optional[bool] = None,
+    temperature: Union[float, Tuple[float, ...]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: Optional[float] = 2.4,
+    logprob_threshold: Optional[float] = -1.0,
+    no_speech_threshold: Optional[float] = 0.6,
+    condition_on_previous_text: bool = True,
+    initial_prompt: Optional[str] = None,
+    carry_initial_prompt: bool = False,
+    word_timestamps: bool = False,
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    clip_timestamps: Union[str, List[float]] = "0",
+    hallucination_silence_threshold: Optional[float] = None,
+    **decode_options,
+):
+    """Transcribe audio of arbitrary length. Returns ``{text, segments, language}``
+    with the segment schema of ``/root/reference/README.md:193-247``."""
+    results = transcribe_many(
+        model,
+        [audio],
+        batch_size=1,
+        verbose=verbose,
+        temperature=temperature,
+        compression_ratio_threshold=compression_ratio_threshold,
+        logprob_threshold=logprob_threshold,
+        no_speech_threshold=no_speech_threshold,
+        condition_on_previous_text=condition_on_previous_text,
+        initial_prompt=initial_prompt,
+        carry_initial_prompt=carry_initial_prompt,
+        word_timestamps=word_timestamps,
+        prepend_punctuations=prepend_punctuations,
+        append_punctuations=append_punctuations,
+        clip_timestamps=clip_timestamps,
+        hallucination_silence_threshold=hallucination_silence_threshold,
+        **decode_options,
     )
+    return results[0]
+
+
+def transcribe_many(
+    model: "OLMoASR",
+    audios: List[Union[str, np.ndarray]],
+    *,
+    batch_size: int = 8,
+    verbose: Optional[bool] = None,
+    temperature: Union[float, Tuple[float, ...]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: Optional[float] = 2.4,
+    logprob_threshold: Optional[float] = -1.0,
+    no_speech_threshold: Optional[float] = 0.6,
+    condition_on_previous_text: bool = True,
+    initial_prompt: Optional[str] = None,
+    carry_initial_prompt: bool = False,
+    word_timestamps: bool = False,
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    clip_timestamps: Union[str, List[float]] = "0",
+    hallucination_silence_threshold: Optional[float] = None,
+    **decode_options,
+) -> List[dict]:
+    """Batched long-form transcription of MANY files on one chip.
+
+    The TPU-native replacement for looping reference ``transcribe`` per file:
+    every active file contributes its current 30s window, the windows decode
+    as ONE batch (windows from different files are independent), and only the
+    windows failing the fallback gates re-queue at higher temperatures
+    (SURVEY §7.2). Per-file output is identical to ``transcribe`` — the seek
+    state machines are independent.
+    """
+    if word_timestamps and decode_options.get("task") == "translate":
+        warnings.warn("Word-level timestamps on translations may not be reliable.")
+
+    temperatures = (
+        [temperature] if isinstance(temperature, (int, float)) else list(temperature)
+    )
+
+    states: List[_FileState] = []
+    for audio in audios:
+        opts = dict(decode_options)
+        language = _resolve_language(model, audio, opts, verbose)
+        tokenizer = get_tokenizer(
+            model.is_multilingual,
+            num_languages=model.num_languages,
+            language=language,
+            task=opts.get("task", "transcribe"),
+        )
+        states.append(
+            _FileState(
+                model, audio, tokenizer,
+                verbose=verbose,
+                compression_ratio_threshold=compression_ratio_threshold,
+                logprob_threshold=logprob_threshold,
+                no_speech_threshold=no_speech_threshold,
+                condition_on_previous_text=condition_on_previous_text,
+                initial_prompt=initial_prompt,
+                word_timestamps=word_timestamps,
+                prepend_punctuations=prepend_punctuations,
+                append_punctuations=append_punctuations,
+                clip_timestamps=clip_timestamps,
+                hallucination_silence_threshold=hallucination_silence_threshold,
+                language=language,
+            )
+        )
+
+    # round-based: each round batches the current window of up to batch_size
+    # active files; languages may differ per file, so group by language
+    active = list(range(len(states)))
+    while active:
+        round_ids = active[:batch_size]
+        windows, ids = [], []
+        for i in round_ids:
+            w = states[i].current_window()
+            if w is None:
+                continue
+            windows.append(w)
+            ids.append(i)
+        if windows:
+            by_lang: dict = {}
+            for w, i in zip(windows, ids):
+                by_lang.setdefault(states[i].language, ([], []))
+                by_lang[states[i].language][0].append(w)
+                by_lang[states[i].language][1].append(i)
+            for lang, (ws, iids) in by_lang.items():
+                opts = {**decode_options, "language": lang}
+                results = _decode_batch_with_fallback(
+                    model, ws, temperatures, opts,
+                    compression_ratio_threshold=compression_ratio_threshold,
+                    logprob_threshold=logprob_threshold,
+                    no_speech_threshold=no_speech_threshold,
+                    pad_to=batch_size if len(states) > 1 else None,
+                )
+                for i, r in zip(iids, results):
+                    states[i].consume(r)
+        active = [i for i in active if not states[i].done]
+
+    return [s.finalize() for s in states]
 
 
 def _get_end(segments: List[dict]) -> Optional[float]:
@@ -456,6 +693,11 @@ def cli():
     parser.add_argument("--clip_timestamps", type=str, default="0")
     parser.add_argument("--hallucination_silence_threshold", type=optional_float,
                         default=None)
+    parser.add_argument(
+        "--batch_size", type=int, default=1,
+        help="files transcribed concurrently (batched windows on one chip); "
+        "1 = sequential reference behavior",
+    )
 
     args = parser.parse_args().__dict__
     model_name = args.pop("model")
@@ -477,9 +719,19 @@ def cli():
     word_options = ["highlight_words", "max_line_count", "max_line_width",
                     "max_words_per_line"]
     writer_args = {k: args.pop(k) for k in word_options}
-    for audio_path in args.pop("audio"):
-        result = transcribe(model, audio_path, temperature=temperature, **args)
-        writer(result, audio_path, **writer_args)
+    batch_size = args.pop("batch_size")
+    audio_paths = args.pop("audio")
+    if batch_size > 1 and len(audio_paths) > 1:
+        results = transcribe_many(
+            model, audio_paths, batch_size=batch_size,
+            temperature=temperature, **args,
+        )
+        for audio_path, result in zip(audio_paths, results):
+            writer(result, audio_path, **writer_args)
+    else:
+        for audio_path in audio_paths:
+            result = transcribe(model, audio_path, temperature=temperature, **args)
+            writer(result, audio_path, **writer_args)
 
 
 if __name__ == "__main__":

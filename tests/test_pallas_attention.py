@@ -117,3 +117,18 @@ def test_self_kernel_matches_attend_cached():
                 n_head=H, interpret=True,
             )
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_cross_kernel_int8_qk_path_accuracy():
+    """bf16 activations + int8 K trigger the native int8 MXU q.K dot; the
+    q-quantization error must stay within int8-cache noise."""
+    B, T, D, H = 2, 96, 64, 4
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, 1, D)).astype(jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, D))
+    kq, ks = _quantize_rows(k)
+    vq, vs = _quantize_rows(v)
+    exact = sdpa(q.astype(jnp.float32), k, v, H, None)
+    out = cross_attend_decode(q, kq, vq, ks, vs, n_head=H, interpret=True)
+    err = float(jnp.abs(out.astype(jnp.float32) - exact).max())
+    assert err < 0.08, err

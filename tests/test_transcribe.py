@@ -69,3 +69,56 @@ def test_transcribe_clip_timestamps(model):
     # all segments within the first 10 seconds window
     for seg in out["segments"]:
         assert seg["seek"] <= 1000
+
+
+def test_transcribe_many_matches_sequential(model):
+    """Batched multi-file long-form == per-file transcribe (greedy is
+    deterministic; the seek state machines are independent)."""
+    from olmoasr_tpu.transcribe import transcribe_many
+
+    rng = np.random.default_rng(2)
+    wavs = [
+        (rng.standard_normal(16000 * 4) * 0.05).astype(np.float32),
+        (rng.standard_normal(16000 * 40) * 0.05).astype(np.float32),
+        (rng.standard_normal(16000 * 2) * 0.05).astype(np.float32),
+    ]
+    kwargs = dict(
+        temperature=0.0, beam_size=None, best_of=None,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        no_speech_threshold=None,
+    )
+    seq = [model.transcribe(w, **kwargs) for w in wavs]
+    bat = transcribe_many(model, wavs, batch_size=3, **kwargs)
+    assert len(bat) == len(seq)
+    for s, b in zip(seq, bat):
+        assert b["text"] == s["text"]
+        assert len(b["segments"]) == len(s["segments"])
+        for ss, bs in zip(s["segments"], b["segments"]):
+            assert bs["tokens"] == ss["tokens"]
+            assert bs["start"] == ss["start"] and bs["end"] == ss["end"]
+
+
+def test_transcribe_many_fallback_requeue(model, monkeypatch):
+    """Only windows failing the gates re-queue at higher temperatures."""
+    from olmoasr_tpu import transcribe as T
+
+    calls = []
+    orig = T._decode_batch_with_fallback
+
+    def spy(model_, windows, temperatures, opts, **kw):
+        res = orig(model_, windows, temperatures, opts, **kw)
+        calls.append((len(windows), [r.temperature for r in res]))
+        return res
+
+    monkeypatch.setattr(T, "_decode_batch_with_fallback", spy)
+    rng = np.random.default_rng(3)
+    wavs = [(rng.standard_normal(16000 * 3) * 0.05).astype(np.float32)
+            for _ in range(2)]
+    # random model: logprob gate will typically trigger the ladder
+    out = T.transcribe_many(
+        model, wavs, batch_size=2, temperature=(0.0, 0.5),
+        beam_size=None, best_of=None,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        no_speech_threshold=None,
+    )
+    assert len(out) == 2 and calls
