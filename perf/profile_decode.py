@@ -1,0 +1,106 @@
+"""Profile the decode hot loop on the TPU and print a per-op time breakdown.
+
+Captures a jax.profiler trace around a few 32-step decode chunks, then parses
+the xplane.pb with tensorflow's profiler tooling to aggregate device time by
+op name. Run standalone: python perf/profile_decode.py [B]
+"""
+
+import glob
+import os
+import sys
+import time
+
+import olmoasr_tpu.cache_config  # noqa: F401
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from olmoasr_tpu.decoding import (
+    DecodingOptions,
+    _decode_chunk_jit,
+    _decode_prefill_jit,
+    build_filter_config,
+)
+from olmoasr_tpu.models.dims import VARIANT_TO_DIMS
+from olmoasr_tpu.tokenizer import get_tokenizer
+from olmoasr_tpu.models import whisper as m
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+CHUNK = 32
+variant = "small.en"
+dims = VARIANT_TO_DIMS[variant]
+params = m.init_params(jax.random.PRNGKey(0), dims, include_padding_token=False)
+params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+tokenizer = get_tokenizer(False, language="en", task="transcribe")
+options = DecodingOptions(language="en", without_timestamps=False)
+prompt = list(tokenizer.sot_sequence)
+cfg = build_filter_config(tokenizer, options, len(prompt), dims.n_vocab)
+
+rng = np.random.default_rng(0)
+mel = jnp.asarray(rng.standard_normal((B, dims.n_mels, 3000)) * 0.3, jnp.float32)
+prompt_arr = jnp.asarray([prompt] * B, jnp.int32)
+key = jax.random.PRNGKey(0)
+
+sample_len = 224
+carry, probs, af = _decode_prefill_jit(
+    params, dims, mel, prompt_arr, cfg, len(prompt), sample_len, 0, key,
+    jnp.bfloat16, True,
+)
+
+
+def run_chunk(carry, start):
+    return _decode_chunk_jit(
+        params, dims, carry, jnp.int32(start), cfg, CHUNK,
+        jnp.float32(0.0), greedy_only=True,
+    )
+
+
+carry = run_chunk(carry, 0)  # compile
+_ = np.asarray(carry[1][:, 0])
+t0 = time.perf_counter()
+carry = run_chunk(carry, CHUNK)
+_ = np.asarray(carry[1][:, 0])
+dt = time.perf_counter() - t0
+print(f"chunk of {CHUNK} steps: {dt*1e3:.1f} ms -> {dt/CHUNK*1e3:.3f} ms/step")
+
+trace_dir = "/tmp/decode_trace"
+os.system(f"rm -rf {trace_dir}")
+jax.profiler.start_trace(trace_dir)
+for i in range(2, 5):
+    carry = run_chunk(carry, i * CHUNK)
+_ = np.asarray(carry[1][:, 0])
+jax.profiler.stop_trace()
+
+# ---- parse xplane ----------------------------------------------------------
+xplanes = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+print("xplane files:", xplanes)
+if not xplanes:
+    sys.exit(0)
+
+from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: E402
+
+from collections import defaultdict  # noqa: E402
+
+total_by_name = defaultdict(float)
+plane_names = []
+for path in xplanes:
+    space = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        space.ParseFromString(f.read())
+    for plane in space.planes:
+        plane_names.append(plane.name)
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        ev_meta = plane.event_metadata
+        for line in plane.lines:
+            for ev in line.events:
+                name = ev_meta[ev.metadata_id].name
+                total_by_name[name] += ev.duration_ps / 1e9  # ms
+print("planes:", plane_names)
+items = sorted(total_by_name.items(), key=lambda kv: -kv[1])
+total = sum(v for _, v in items)
+print(f"total device time: {total:.2f} ms over 3 chunks ({3*CHUNK} steps)")
+for name, ms in items[:45]:
+    print(f"{ms:9.3f} ms  {100*ms/total:5.1f}%  {name[:110]}")
