@@ -7,11 +7,11 @@
 // (olmoasr_tpu/tokenizer_native.py); the pure-Python engine in
 // olmoasr_tpu/tokenizer.py is the exact-semantics reference implementation.
 //
-// Unicode note: the GPT-2 pattern's \p{L}/\p{N} classes are approximated —
-// ASCII is classified exactly; non-ASCII UTF-8 sequences are treated as
-// letters. Identical results to the Python engine on ASCII/English text
-// (OLMoASR is English-only); the Python engine remains the fallback for
-// anything else.
+// Unicode: the GPT-2 pattern's \p{L}/\p{N}/\s classes are evaluated on
+// decoded UTF-8 codepoints against range tables GENERATED from the same
+// Python `regex` module the reference engine uses (unicode_tables.inc,
+// emitted by build.py) — full-unicode agreement with the Python engine by
+// construction, verified in tests/test_native_bpe.py.
 //
 // Build: olmoasr_tpu/cpp/build.py (g++ -O3 -shared -fPIC).
 
@@ -58,32 +58,73 @@ std::string b64_decode(const std::string& in) {
   return out;
 }
 
-// ---- pre-tokenization (GPT-2 pattern, ASCII-exact) --------------------------
+// ---- pre-tokenization (GPT-2 pattern, unicode-exact) ------------------------
 
-inline bool is_ascii_letter(unsigned char c) {
-  return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z');
+#include "unicode_tables.inc"
+
+bool in_ranges(uint32_t cp, const uint32_t ranges[][2], int count) {
+  int lo = 0, hi = count - 1;
+  while (lo <= hi) {
+    int mid = (lo + hi) / 2;
+    if (cp < ranges[mid][0]) hi = mid - 1;
+    else if (cp > ranges[mid][1]) lo = mid + 1;
+    else return true;
+  }
+  return false;
 }
-inline bool is_ascii_digit(unsigned char c) { return c >= '0' && c <= '9'; }
-inline bool is_space(unsigned char c) {
-  return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\v';
+
+inline bool cp_is_letter(uint32_t cp) { return in_ranges(cp, kLetter, kLetterCount); }
+inline bool cp_is_number(uint32_t cp) { return in_ranges(cp, kNumber, kNumberCount); }
+inline bool cp_is_space(uint32_t cp) { return in_ranges(cp, kSpace, kSpaceCount); }
+
+// Decode one UTF-8 codepoint at s[i]; advances len. Invalid sequences decode
+// byte-by-byte as class "other" (mirrors Python: invalid bytes never appear —
+// the input is a valid str encoded to UTF-8).
+uint32_t decode_cp(const std::string& s, size_t i, size_t* len) {
+  unsigned char c = s[i];
+  size_t n = s.size();
+  if (c < 0x80) { *len = 1; return c; }
+  if ((c >> 5) == 0x6 && i + 1 < n) {
+    *len = 2;
+    return ((c & 0x1F) << 6) | (s[i + 1] & 0x3F);
+  }
+  if ((c >> 4) == 0xE && i + 2 < n) {
+    *len = 3;
+    return ((c & 0x0F) << 12) | ((s[i + 1] & 0x3F) << 6) | (s[i + 2] & 0x3F);
+  }
+  if ((c >> 3) == 0x1E && i + 3 < n) {
+    *len = 4;
+    return ((c & 0x07) << 18) | ((s[i + 1] & 0x3F) << 12) |
+           ((s[i + 2] & 0x3F) << 6) | (s[i + 3] & 0x3F);
+  }
+  *len = 1;
+  return 0xFFFD;  // lone continuation/truncated: class "other"
 }
-// non-ASCII bytes are treated as letters (see unicode note above)
-inline bool is_letter(unsigned char c) { return is_ascii_letter(c) || c >= 0x80; }
+
+enum CpClass { CP_LETTER, CP_NUMBER, CP_SPACE, CP_OTHER };
+
+CpClass classify(uint32_t cp) {
+  if (cp_is_space(cp)) return CP_SPACE;    // \s first: matches Python regex \s
+  if (cp_is_letter(cp)) return CP_LETTER;
+  if (cp_is_number(cp)) return CP_NUMBER;
+  return CP_OTHER;
+}
 
 // Split text into GPT-2 pre-tokens:
-//   's|'t|'re|'ve|'m|'ll|'d | ?L+ | ?N+ | ?[^ LN]+ | \s+(?!\S) | \s+
+//   's|'t|'re|'ve|'m|'ll|'d | ?\p{L}+ | ?\p{N}+ | ?[^\s\p{L}\p{N}]+ |
+//   \s+(?!\S) | \s+
 std::vector<std::string> pretokenize(const std::string& s) {
   std::vector<std::string> out;
   size_t i = 0, n = s.size();
+  size_t cl;  // codepoint byte length scratch
   while (i < n) {
-    // contractions
+    // contractions (ASCII, case-sensitive: GPT-2 pattern literals)
     if (s[i] == '\'' && i + 1 < n) {
       static const char* contractions[] = {"'s", "'t", "'re", "'ve", "'m", "'ll", "'d"};
       bool matched = false;
       for (const char* c : contractions) {
         size_t len = std::strlen(c);
         if (i + len <= n && s.compare(i, len, c) == 0) {
-          // GPT-2 contractions are case-sensitive lowercase
           out.emplace_back(s.substr(i, len));
           i += len;
           matched = true;
@@ -92,57 +133,58 @@ std::vector<std::string> pretokenize(const std::string& s) {
       }
       if (matched) continue;
     }
-    unsigned char c = s[i];
-    size_t start = i;
-    if (is_space(c)) {
-      size_t j = i;
-      while (j < n && is_space(static_cast<unsigned char>(s[j]))) j++;
-      if (j < n && j - i > 1) {
-        // \s+(?!\S): all but the last space, which prefixes the next token
-        out.emplace_back(s.substr(i, j - i - 1));
-        i = j - 1;
-        // fall through: single leading space handled below
-        c = s[i];
-      } else if (j == n) {
+    uint32_t cp = decode_cp(s, i, &cl);
+    if (classify(cp) == CP_SPACE) {
+      // whitespace run: find its byte extent
+      size_t j = i, last_start = i, last_len = cl;
+      while (j < n) {
+        size_t l;
+        uint32_t c2 = decode_cp(s, j, &l);
+        if (classify(c2) != CP_SPACE) break;
+        last_start = j;
+        last_len = l;
+        j += l;
+      }
+      bool run_is_multi = (last_start > i);
+      bool followed_by_nonspace = (j < n);
+      if (followed_by_nonspace && s[last_start] == ' ' && last_len == 1) {
+        // \s+(?!\S) leaves the final ' ' to prefix the next token
+        if (run_is_multi) out.emplace_back(s.substr(i, last_start - i));
+        i = last_start;
+      } else if (followed_by_nonspace && run_is_multi) {
+        out.emplace_back(s.substr(i, last_start - i));
+        i = last_start;
+        continue;  // final non-' ' space emitted as its own \s+ piece next pass
+      } else {
         out.emplace_back(s.substr(i, j - i));
         i = j;
         continue;
       }
-      // single space: belongs to the following token
     }
+    // optional single leading ' ' + class run
     size_t j = i;
-    bool lead_space = (s[j] == ' ');
-    if (lead_space) j++;
+    if (s[j] == ' ') j++;
     if (j >= n) {
       out.emplace_back(s.substr(i));
       break;
     }
-    unsigned char d = s[j];
-    if (is_letter(d)) {
-      size_t k = j;
-      while (k < n && is_letter(static_cast<unsigned char>(s[k]))) k++;
-      out.emplace_back(s.substr(i, k - i));
-      i = k;
-    } else if (is_ascii_digit(d)) {
-      size_t k = j;
-      while (k < n && is_ascii_digit(static_cast<unsigned char>(s[k]))) k++;
-      out.emplace_back(s.substr(i, k - i));
-      i = k;
-    } else if (is_space(d)) {
-      // a space followed by space run: emit the single space alone
+    uint32_t d = decode_cp(s, j, &cl);
+    CpClass cls = classify(d);
+    if (cls == CP_SPACE) {
+      // ' ' followed by more space: emit the single space alone
       out.emplace_back(s.substr(i, 1));
       i++;
-    } else {
-      size_t k = j;
-      while (k < n) {
-        unsigned char e = s[k];
-        if (is_space(e) || is_letter(e) || is_ascii_digit(e)) break;
-        k++;
-      }
-      out.emplace_back(s.substr(i, k - i));
-      i = k;
+      continue;
     }
-    (void)start;
+    size_t k = j;
+    while (k < n) {
+      size_t l;
+      uint32_t e = decode_cp(s, k, &l);
+      if (classify(e) != cls) break;
+      k += l;
+    }
+    out.emplace_back(s.substr(i, k - i));
+    i = k;
   }
   return out;
 }
