@@ -80,14 +80,19 @@ def _dot_dtype(q_dtype) -> jnp.dtype:
 
 
 def _expand_heads(w, n_head: int, dh: int, dtype):
-    """(T, H) per-head weights -> (T, H*dh) lane-expanded, via broadcast +
-    reshape (pure VPU data movement). Profiled against the expand-matrix
-    matmul: the (T, 128-padded-H) @ (H, D) MXU dot was ~1.5us/program — a
-    third of the cross kernel's compute budget — for what is just a copy."""
+    """(T, H) per-head weights -> (T, H*dh) lane-expanded via the expansion
+    matrix on the MXU. (A broadcast+reshape copy would be cheaper in theory,
+    but Mosaic rejects both the bf16 minor-dim insert and the f32 (T,H,dh)->
+    (T,D) shape cast — 'unsupported shape cast' — so the padded-K dot it is.)
+    """
     T, H = w.shape
-    return jnp.broadcast_to(w.astype(dtype)[:, :, None], (T, H, dh)).reshape(
-        T, H * dh
-    )
+    D = H * dh
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+    expand = jnp.where(h_ids == d_ids // dh, 1.0, 0.0).astype(dtype)  # (H, D)
+    return jnp.dot(
+        w.astype(dtype), expand, preferred_element_type=jnp.float32
+    ).astype(dtype)
 
 
 def _qk_logits(k_ref_slice, qm, dd):
