@@ -302,8 +302,55 @@ class WSJLoader(BaseDatasetLoader):
         return items
 
 
+def remix_channel(sph_path: str, wav_path: str, channel: str) -> bool:
+    """Extract one channel of a 2-channel SPHERE/WAV file to a mono wav
+    (the reference shells out to ``sox <sph> <wav> remix 1|2``,
+    eval.py:784-788). Prefers sox when installed; falls back to a native
+    NIST-SPHERE PCM parser (header 'NIST_1A' + key/value block + interleaved
+    16-bit PCM) so LDC trees work without sox."""
+    import shutil as _shutil
+    import subprocess
+
+    ch_idx = 0 if channel.upper() == "A" else 1
+    if _shutil.which("sox"):
+        r = subprocess.run(
+            ["sox", sph_path, wav_path, "remix", str(ch_idx + 1)],
+            capture_output=True,
+        )
+        if r.returncode == 0:
+            return True
+    try:
+        with open(sph_path, "rb") as f:
+            head = f.read(1024)
+            if not head.startswith(b"NIST_1A"):
+                return False
+            header_size = int(head.splitlines()[1].strip())
+            text = head[:header_size].decode("ascii", errors="replace")
+            fields = {}
+            for line in text.splitlines():
+                parts = line.split()
+                if len(parts) >= 3 and parts[1].startswith("-"):
+                    fields[parts[0]] = parts[2]
+            n_ch = int(fields.get("channel_count", 2))
+            rate = int(fields.get("sample_rate", 8000))
+            fmt = fields.get("sample_coding", "pcm")
+            if "pcm" not in fmt:
+                return False  # ulaw/shorten need sox
+            f.seek(header_size)
+            data = np.frombuffer(f.read(), dtype="<i2")
+        mono = data.reshape(-1, n_ch)[:, ch_idx]
+        from scipy.io import wavfile
+
+        wavfile.write(wav_path, rate, np.ascontiguousarray(mono))
+        return True
+    except Exception:
+        return False
+
+
 class Hub5Loader(BaseDatasetLoader):
-    """CallHome / Switchboard from HUB5 2000 STM (eval.py:686-805)."""
+    """CallHome / Switchboard from HUB5 2000 STM (eval.py:686-805), with the
+    reference's per-channel remix: segment channel A/B is cut from the stereo
+    .sph, materialized once as ``<base>_<ch>.wav``."""
 
     name = "hub5"
 
@@ -332,9 +379,26 @@ class Hub5Loader(BaseDatasetLoader):
                     continue
                 if "ignore_time_segment_in_scoring" in text:
                     continue
+                text = re.split(r"<[^>]+>", text)[-1].strip()  # strip STM tags
                 audio = os.path.join(
                     self.eval_dir, "wav", f"{wav_id.lower()}_{channel}.wav"
                 )
+                if not os.path.isfile(audio):
+                    # remix from the LDC sphere layout (hub5e_00/english/*.sph)
+                    sph = glob.glob(os.path.join(
+                        self.eval_dir, "**", f"{wav_id.lower()}.sph"
+                    ), recursive=True)
+                    if sph:
+                        os.makedirs(os.path.dirname(audio), exist_ok=True)
+                        if not remix_channel(sph[0], audio, channel):
+                            continue
+                    else:
+                        # fall through: loader may still find a flat wav
+                        flat = os.path.join(
+                            self.eval_dir, f"{wav_id.lower()}_{channel}.wav"
+                        )
+                        if os.path.isfile(flat):
+                            audio = flat
                 items.append(
                     EvalItem(
                         audio=audio, text=text,
@@ -429,6 +493,64 @@ LONG_FORM_SETS = [
 ]
 
 
+#: eval-set -> (HF path, config name, text column, long_form)
+#: mirrors reference scripts/eval/eval.py:1098-1161 _init_hf_dataset
+HF_DATASET_CONFIGS = {
+    "fleurs": ("google/fleurs", "en_us", "transcription", False),
+    "voxpopuli": ("facebook/voxpopuli", "en", "normalized_text", False),
+    "common_voice": (
+        "mozilla-foundation/common_voice_5_1", "en", "sentence", False,
+    ),
+    "tedlium_hf_long": (
+        "distil-whisper/tedlium-long-form", None, "text", True,
+    ),
+    "meanwhile": ("distil-whisper/meanwhile", None, "text", True),
+    "rev16": ("distil-whisper/rev16", "whisper_subset", "transcription", True),
+    "earnings21": ("distil-whisper/earnings21", "full", "transcription", True),
+    "earnings22": ("distil-whisper/earnings22", "full", "transcription", True),
+}
+
+
+class HFDatasetLoader(BaseDatasetLoader):
+    """Native HuggingFace ``datasets`` loader (eval.py:1098-1161): loads the
+    test split from the hub (or the ``eval_dir`` cache when already
+    downloaded), decodes audio at 16 kHz, yields in-memory waveforms."""
+
+    name = "hf"
+
+    def __init__(self, eval_dir: str, eval_set: str, hf_token: Optional[str] = None):
+        super().__init__(eval_dir)
+        self.eval_set = eval_set
+        self.hf_token = hf_token or os.environ.get("HF_TOKEN")
+
+    def load(self) -> List[EvalItem]:
+        try:
+            from datasets import Audio, load_dataset
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                f"eval set {self.eval_set} needs the `datasets` package"
+            ) from e
+
+        path, name, text_col, long_form = HF_DATASET_CONFIGS[self.eval_set]
+        self.long_form = long_form
+        kwargs = dict(path=path, split="test", cache_dir=self.eval_dir)
+        if name:
+            kwargs["name"] = name
+        if self.hf_token:
+            kwargs["token"] = self.hf_token
+        ds = load_dataset(**kwargs)
+        ds = ds.cast_column("audio", Audio(sampling_rate=16000))
+        items: List[EvalItem] = []
+        for i, row in enumerate(ds):
+            audio = row["audio"]
+            wav = np.asarray(audio["array"], dtype=np.float32)
+            text = row.get(text_col) or ""
+            if not text.strip():
+                continue
+            items.append(EvalItem(audio=wav, text=text, id=f"{self.eval_set}_{i}"))
+        return items
+
+
 class DatasetFactory:
     """eval.py:893-985 analog: eval-set name -> loader."""
 
@@ -458,6 +580,16 @@ class DatasetFactory:
             return CHiME6Loader(eval_dir)
         if eval_set == "kincaid46":
             return Kincaid46Loader(eval_dir)
-        # HF-sourced sets are normalized to JSONL manifests by get_eval_set
+        if eval_set in HF_DATASET_CONFIGS:
+            # prefer a pre-normalized manifest when present (offline), else
+            # load natively from the HF hub/cache (eval.py:1098-1161)
+            manifest = os.path.join(eval_dir, f"{eval_set}.jsonl")
+            if os.path.isfile(manifest):
+                return ManifestLoader(
+                    eval_dir, f"{eval_set}.jsonl",
+                    HF_DATASET_CONFIGS[eval_set][3],
+                )
+            return HFDatasetLoader(eval_dir, eval_set)
+        # anything else: the JSONL manifest convention
         long_form = eval_set in LONG_FORM_SETS
         return ManifestLoader(eval_dir, f"{eval_set}.jsonl", long_form)

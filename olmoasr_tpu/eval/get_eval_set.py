@@ -85,15 +85,112 @@ def materialize_hf_set(eval_set: str, dest_dir: str, max_samples: Optional[int] 
     return manifest
 
 
+CHIME6_URLS = [
+    "https://www.openslr.org/resources/150/CHiME6_eval.tar.gz",
+    "https://www.openslr.org/resources/150/CHiME6_transcriptions.tar.gz",
+]
+
+
+def _ts_seconds(ts: str) -> float:
+    parts = [float(p) for p in str(ts).split(":")]
+    while len(parts) < 3:
+        parts.insert(0, 0.0)
+    return parts[0] * 3600 + parts[1] * 60 + parts[2]
+
+
+def segment_chime6(chime_dir: str, out_dir: Optional[str] = None) -> str:
+    """Cut per-utterance wavs from the CHiME-6 session recordings using the
+    transcript timestamps (reference get_eval_set.py:456-614 does this with
+    pydub; this is a native numpy/scipy reimplementation) and write a JSONL
+    manifest. Expects the openslr 150 layout: ``audio/*.wav`` (P* binaural
+    preferred) + ``transcripts/S*.json``."""
+    import glob as _glob
+    import re as _re
+
+    import numpy as np
+    import scipy.io.wavfile as wavfile
+
+    out_dir = out_dir or chime_dir
+    seg_dir = os.path.join(out_dir, "segments")
+    os.makedirs(seg_dir, exist_ok=True)
+    manifest = os.path.join(out_dir, "chime6_segments.jsonl")
+    trans = sorted(
+        _glob.glob(os.path.join(chime_dir, "transcripts", "*.json"))
+        or _glob.glob(os.path.join(chime_dir, "transcriptions", "eval", "*.json"))
+    )
+    n = 0
+    with open(manifest, "w", encoding="utf-8") as mf:
+        for tj in trans:
+            session = os.path.splitext(os.path.basename(tj))[0]
+            wavs = sorted(
+                _glob.glob(os.path.join(chime_dir, "audio", f"{session}_P*.wav"))
+            )
+            if not wavs:
+                continue
+            rate, data = wavfile.read(wavs[0])
+            if data.ndim > 1:
+                data = data[:, 0]
+            with open(tj, encoding="utf-8") as f:
+                utts = json.load(f)
+            for utt in utts:
+                text = _re.sub(r"\[[^\]]*\]", "", utt.get("words", "")).strip()
+                if not text:
+                    continue
+                start, end = utt.get("start_time"), utt.get("end_time")
+                if isinstance(start, dict):
+                    start, end = next(iter(start.values())), next(iter(end.values()))
+                s = int(_ts_seconds(start) * rate)
+                e = int(_ts_seconds(end) * rate)
+                if e <= s or (e - s) > 30 * rate:
+                    continue
+                rel = os.path.join("segments", f"{session}_{n:06d}.wav")
+                wavfile.write(os.path.join(out_dir, rel), rate, data[s:e])
+                mf.write(
+                    json.dumps({"audio": rel, "text": text, "id": f"{session}_{n}"})
+                    + "\n"
+                )
+                n += 1
+    print(f"chime6: wrote {n} segments -> {manifest}")
+    return manifest
+
+
+def get_chime6(eval_dir: str) -> str:
+    """Download + extract + segment CHiME-6 eval (openslr 150; the only
+    HUB-licensed-free path the reference supports, get_eval_set.py:456-614)."""
+    import glob as _glob
+    import shutil
+
+    dest = os.path.join(eval_dir, "chime6")
+    for url in CHIME6_URLS:
+        download_and_extract(url, dest)
+    # normalize the extracted layout -> audio/ + transcripts/
+    if os.path.isdir(os.path.join(dest, "CHiME6_eval")):
+        os.rename(
+            os.path.join(dest, "CHiME6_eval", "CHiME6", "audio", "eval"),
+            os.path.join(dest, "audio"),
+        )
+        shutil.rmtree(os.path.join(dest, "CHiME6_eval"))
+        for p in _glob.glob(os.path.join(dest, "audio", "*_U*.wav")):
+            os.remove(p)  # array mics unused (reference keeps binaural P*)
+    tdir = os.path.join(dest, "transcriptions", "transcriptions")
+    if os.path.isdir(tdir):
+        os.rename(os.path.join(tdir, "eval"), os.path.join(dest, "transcripts"))
+        shutil.rmtree(os.path.join(dest, "transcriptions"))
+    segment_chime6(dest)
+    return dest
+
+
 def get_eval_set(eval_set: str, eval_dir: str, max_samples: Optional[int] = None) -> str:
     """Fetch + normalize one eval set under ``eval_dir`` (get_eval_set.py:92)."""
     dest = os.path.join(eval_dir, eval_set)
     if eval_set in URLS:
         return download_and_extract(URLS[eval_set], dest)
+    if eval_set == "chime6":
+        return get_chime6(eval_dir)
     if eval_set in HF_SETS:
         materialize_hf_set(eval_set, dest, max_samples)
         return dest
-    if eval_set in ("wsj", "callhome", "switchboard", "chime6", "coraal"):
+    if eval_set in ("wsj", "callhome", "switchboard", "coraal"):
         raise NotImplementedError(
             f"{eval_set} requires a manual (LDC/licensed) download; place the "
             f"corpus under {dest} in its standard layout"

@@ -201,6 +201,23 @@ def long_form_eval(
     )
 
 
+def long_form_eval_single(
+    model, audio_path: str, ref_path: Optional[str] = None, *, normalizer=None
+) -> float:
+    """Transcribe ONE long-form file with the reference's eval config
+    (beam_size=5, best_of=5, timestamps on; eval.py:2077-2084) and return WER
+    vs the reference transcript (0.0 when no reference is given)."""
+    normalizer = normalizer or EnglishTextNormalizer()
+    out = model.transcribe(audio_path, beam_size=5, best_of=5, verbose=None)
+    if not ref_path:
+        print(out["text"][:2000])
+        return 0.0
+    with open(ref_path, encoding="utf-8") as f:
+        ref = normalizer(f.read())
+    hyp = normalizer(out["text"])
+    return compute_measures(ref, hyp).wer
+
+
 def write_results(result: EvalResult, out_dir: str, ckpt_name: str = "model"):
     """Text + json + per-sample CSV (bootstrap input), like eval.py:2179-2285."""
     os.makedirs(out_dir, exist_ok=True)
@@ -253,6 +270,9 @@ def main():
     p.add_argument("--long_form", action="store_true")
     p.add_argument("--out_dir", default="eval_results")
     p.add_argument("--kv_quant", action="store_true")
+    p.add_argument("--wandb", action="store_true",
+                   help="log metrics + per-sample table to wandb "
+                   "(reference WandBLogger, eval.py:1463-1645)")
     args = p.parse_args()
 
     model = load_model(args.ckpt, inference=True)
@@ -267,6 +287,29 @@ def main():
             max_samples=args.max_samples, kv_quant=args.kv_quant, verbose=True,
         )
     write_results(result, args.out_dir, os.path.basename(args.ckpt))
+    if args.wandb:
+        from olmoasr_tpu.training.logging_utils import EVAL_TABLE_COLS, MetricsLogger
+
+        logger = MetricsLogger(f"eval_{args.eval_set}")
+        logger.log(
+            {
+                f"eval/{args.eval_set}/wer": result.wer,
+                f"eval/{args.eval_set}/substitutions": result.substitutions,
+                f"eval/{args.eval_set}/insertions": result.insertions,
+                f"eval/{args.eval_set}/deletions": result.deletions,
+                f"eval/{args.eval_set}/n_samples": result.n_samples,
+                f"eval/{args.eval_set}/rtfx": result.rtfx,
+            }
+        )
+        logger.log_table(
+            f"eval/{args.eval_set}/samples",
+            EVAL_TABLE_COLS,  # [global_step, eval_set, audio, pred, target, wer]
+            [
+                [0, args.eval_set, r["id"], r["hyp"], r["ref"], r["wer"]]
+                for r in result.per_sample
+            ],
+        )
+        logger.close()
     print(json.dumps(result.to_dict()))
 
 
