@@ -386,6 +386,11 @@ class KVCache(NamedTuple):
     cross_v_scale: Optional[jax.Array] = None
     self_k_scale: Optional[jax.Array] = None  # (L, B, 1, C) f32 when int8
     self_v_scale: Optional[jax.Array] = None
+    # head-interleaved copy of cross_v (column p = head p%H, inner p//H) for
+    # the fused cross kernel: turns the per-head weight expansion into a
+    # native lane tile instead of a 128-lane-padded MXU dot. Read-only twin
+    # of cross_v; the normal-layout copy still serves prefill/XLA paths.
+    cross_v_il: Optional[jax.Array] = None
 
 
 def _quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -425,6 +430,17 @@ def init_cache(
     if quantize_cross:
         cross_k, ck_scale = _quantize_rows(cross_k)
         cross_v, cv_scale = _quantize_rows(cross_v)
+    cross_v_il = None
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("OLMOASR_PALLAS_CROSS_BLOCK", "1") == "1"
+    ):
+        # head-interleaved twin for the fused cross kernel (see KVCache);
+        # per-key scales are per-row, so they are layout-invariant
+        H = dims.n_text_head
+        dh = D // H
+        perm = (jnp.arange(D) % H) * dh + jnp.arange(D) // H
+        cross_v_il = cross_v[..., perm]
     self_dtype = jnp.int8 if quantize_self else dtype
     sk_scale = sv_scale = None
     if quantize_self:
@@ -440,6 +456,7 @@ def init_cache(
         cross_v_scale=cv_scale,
         self_k_scale=sk_scale,
         self_v_scale=sv_scale,
+        cross_v_il=cross_v_il,
     )
 
 
@@ -631,9 +648,9 @@ def decode_step(
             x = cross_block_decode(
                 x, blocks["cross_ln_g"], blocks["cross_ln_b"],
                 blocks["cross_q_w"], blocks["cross_q_b"],
-                blocks["cross_o_w"], blocks["cross_o_b"],
-                cache.cross_k, cache.cross_v, cross_ks, cross_vs, li,
-                n_head=dims.n_text_head,
+                cross_o_w_eff, blocks["cross_o_b"],
+                cache.cross_k, cross_v_eff, cross_ks, cross_vs, li,
+                n_head=dims.n_text_head, v_interleaved=use_interleaved_v,
             )
         elif use_pallas_cross:
             from olmoasr_tpu.ops.attention import cross_attend_decode
@@ -669,6 +686,19 @@ def decode_step(
         return x, (k_new, v_new)
 
     L = dims.n_text_layer
+    # head-interleaved V twin (see KVCache.cross_v_il): the kernel's weight
+    # expansion becomes a lane tile; the out-projection's rows are permuted
+    # to compensate (scan-invariant — XLA hoists the gather out of the scan)
+    use_interleaved_v = use_pallas_cross_block and cache.cross_v_il is not None
+    if use_interleaved_v:
+        H = dims.n_text_head
+        dh = D // H
+        perm = (jnp.arange(D) % H) * dh + jnp.arange(D) // H
+        cross_o_w_eff = dec["blocks"]["cross_o_w"][:, perm, :]
+        cross_v_eff = cache.cross_v_il
+    else:
+        cross_o_w_eff = dec["blocks"]["cross_o_w"]
+        cross_v_eff = cache.cross_v
     cross_ks, cross_vs = cache.cross_k_scale, cache.cross_v_scale
     if use_pallas_cross_block and cross_ks is None:
         # the megakernel folds per-key scales unconditionally; bf16 caches
@@ -712,6 +742,7 @@ def decode_step(
     new_cache = KVCache(
         new_sk, new_sv, cache.cross_k, cache.cross_v, offset + S,
         cache.cross_k_scale, cache.cross_v_scale, new_sks, new_svs,
+        cache.cross_v_il,
     )
     return logits, new_cache
 

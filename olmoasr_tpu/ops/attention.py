@@ -667,6 +667,7 @@ def _cross_block_kernel(
     o_ref,  # (1, 1, D) new residual stream
     *,
     n_head: int,
+    v_interleaved: bool = False,
 ):
     _, _, T, D = k_ref.shape
     dh = D // n_head
@@ -696,7 +697,12 @@ def _cross_block_kernel(
     w = jax.nn.softmax(logits, axis=0)  # (T, H) fp32
     w = w * vs_ref[0, 0, 0, :][:, None]  # fold per-key v scale
 
-    w_full = _expand_heads(w, n_head, dh, dd)  # (T, D)
+    if v_interleaved:
+        # v columns are head-interleaved (col p = head p%H): the per-head
+        # weight expansion is a pure lane tile — no 128-lane-padded MXU dot
+        w_full = pltpu.repeat(w.astype(dd), dh, axis=1)  # (T, D)
+    else:
+        w_full = _expand_heads(w, n_head, dh, dd)  # (T, D)
     prod = w_full * v_ref[0, 0, :, :].astype(dd)
     ones = jnp.ones((1, T), dd)
     attn = jnp.dot(ones, prod, preferred_element_type=jnp.float32)  # (1, D)
@@ -708,7 +714,9 @@ def _cross_block_kernel(
     o_ref[0, 0, :] = (x + out).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "interpret", "v_interleaved")
+)
 def cross_block_decode(
     x: jax.Array,  # (B, 1, D) residual stream (post self-attention)
     ln_g: jax.Array,  # (L, D) cross LN params, stacked over layers
@@ -725,6 +733,7 @@ def cross_block_decode(
     *,
     n_head: int,
     interpret: bool = False,
+    v_interleaved: bool = False,
 ) -> jax.Array:
     """Whole decode-step cross-attention sub-block in ONE kernel per layer:
     fp32 LN + q projection + int8 (or bf16) cross attention + output
@@ -770,7 +779,9 @@ def cross_block_decode(
     )
     kv_bytes = T * D * (1 if ck.dtype == jnp.int8 else 2)
     out = pl.pallas_call(
-        functools.partial(_cross_block_kernel, n_head=n_head),
+        functools.partial(
+            _cross_block_kernel, n_head=n_head, v_interleaved=v_interleaved
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 1, D), x.dtype),
         cost_estimate=pl.CostEstimate(

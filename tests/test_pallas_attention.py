@@ -132,3 +132,41 @@ def test_cross_kernel_int8_qk_path_accuracy():
     out = cross_attend_decode(q, kq, vq, ks, vs, n_head=H, interpret=True)
     err = float(jnp.abs(out.astype(jnp.float32) - exact).max())
     assert err < 0.08, err
+
+
+def test_cross_block_kernel_interleaved_v():
+    """Head-interleaved V + row-permuted Wo == the normal-layout path."""
+    from olmoasr_tpu.models.whisper import layer_norm, _linear
+    from olmoasr_tpu.ops.attention import cross_block_decode
+
+    B, T, D, H, L = 2, 96, 64, 4, 2
+    dh = D // H
+    ks = jax.random.split(jax.random.PRNGKey(7), 12)
+    x = jax.random.normal(ks[0], (B, 1, D), jnp.float32)
+    ln_g = jax.random.normal(ks[1], (L, D)) * 0.1 + 1.0
+    ln_b = jax.random.normal(ks[2], (L, D)) * 0.1
+    wq = jax.random.normal(ks[3], (L, D, D)) * 0.1
+    bq = jax.random.normal(ks[4], (L, D)) * 0.1
+    wo = jax.random.normal(ks[5], (L, D, D)) * 0.1
+    bo = jax.random.normal(ks[6], (L, D)) * 0.1
+    ck_f = jax.random.normal(ks[7], (L, B, T, D))
+    cv_f = jax.random.normal(ks[8], (L, B, T, D))
+    ckq, cks = _quantize_rows(ck_f)
+    cvq, cvs = _quantize_rows(cv_f)
+
+    perm = (jnp.arange(D) % H) * dh + jnp.arange(D) // H
+    cv_il = cvq[..., perm]
+    wo_il = wo[:, perm, :]
+
+    for li in (0, 1):
+        ref = cross_block_decode(
+            x, ln_g, ln_b, wq, bq, wo, bo, ckq, cvq, cks, cvs,
+            jnp.int32(li), n_head=H, interpret=True,
+        )
+        out = cross_block_decode(
+            x, ln_g, ln_b, wq, bq, wo_il, bo, ckq, cv_il, cks, cvs,
+            jnp.int32(li), n_head=H, interpret=True, v_interleaved=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-5
+        )
