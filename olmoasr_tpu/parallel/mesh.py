@@ -11,11 +11,13 @@ SPMD model: one ``jax.sharding.Mesh`` with axes
     analog; all-gather in fwd/bwd + reduce-scatter of grads inserted by XLA
     from sharding annotations). Spans ICI.
 
-The four reference FSDP strategies map to mesh shapes:
-  FULL_SHARD         -> (1, N)        SHARD_GRAD_OP      -> (1, N) w/ params
-                                       gathered (not implemented separately;
-                                       XLA's scheduler already overlaps)
-  HYBRID_SHARD       -> (R, N/R)      _HYBRID_SHARD_ZERO2-> (R, N/R)
+The four reference FSDP strategies map to mesh shapes + a zero2 flag
+(training.train.shard_train_state):
+  FULL_SHARD          -> (1, N)
+  SHARD_GRAD_OP       -> (1, N)   + zero2=True (params replicated, grads/opt
+                                    sharded; reduce-scatter in the update)
+  HYBRID_SHARD        -> (R, N/R)
+  _HYBRID_SHARD_ZERO2 -> (R, N/R) + zero2=True
 """
 
 from __future__ import annotations

@@ -184,11 +184,21 @@ def init_train_state(
 # ---------------------------------------------------------------------------
 
 
-def shard_train_state(state: TrainState, mesh) -> Tuple[TrainState, Any]:
+def shard_train_state(
+    state: TrainState, mesh, *, zero2: bool = False
+) -> Tuple[TrainState, Any]:
     """Place params/opt state on the mesh with FSDP shardings; returns the
-    sharded state and the state-sharding pytree (for jit out_shardings)."""
-    p_shard = mesh_mod.param_shardings(state.params, mesh)
+    sharded state and the state-sharding pytree (for jit out_shardings).
+
+    ``zero2=True`` is the reference's SHARD_GRAD_OP / _HYBRID_SHARD_ZERO2
+    (train_fsdp_timestamps.py:2437-2442): parameters stay REPLICATED (no
+    per-layer all-gather in fwd/bwd) while gradients + optimizer moments are
+    sharded over the fsdp axis — XLA inserts the reduce-scatter into the
+    optimizer update and an all-gather of the applied updates.
+    """
+    full_shard = mesh_mod.param_shardings(state.params, mesh)
     rep = mesh_mod.replicated(mesh)
+    p_shard = jax.tree.map(lambda _: rep, full_shard) if zero2 else full_shard
 
     # Optimizer moments (adamw mu/nu) are created by ``tree_map(zeros_like,
     # params)``, so they are SUBTREES with the exact treedef of params:
@@ -206,8 +216,10 @@ def shard_train_state(state: TrainState, mesh) -> Tuple[TrainState, Any]:
             return False
 
     def map_opt(tree):
+        # moments always take the FULL fsdp shardings — under zero2 that is
+        # exactly what makes it ZeRO-2 (sharded opt state, replicated params)
         leaves, treedef = jax.tree.flatten(tree, is_leaf=_is_param_tree)
-        out = [p_shard if _is_param_tree(leaf) else rep for leaf in leaves]
+        out = [full_shard if _is_param_tree(leaf) else rep for leaf in leaves]
         return jax.tree.unflatten(treedef, out)
 
     state_shardings = TrainState(

@@ -98,6 +98,7 @@ def main(
     micro_batch_size: int = 8,
     peak_lr: float = 1.5e-3,
     fsdp_size: int = 1,
+    fsdp_strategy: str = "full",  # full=FULL_SHARD | grad_op=SHARD_GRAD_OP
     remat: bool = True,
     ckpt_dir: str = "checkpoints",
     ckpt_every: int = 1000,
@@ -142,7 +143,9 @@ def main(
     start_step = int(meta.get("global_step", 0))
     best_eval_wer = meta.get("best_eval_wer")
 
-    state, state_shardings = train_mod.shard_train_state(state, mesh)
+    state, state_shardings = train_mod.shard_train_state(
+        state, mesh, zero2=(fsdp_strategy == "grad_op")
+    )
     step_fn = train_mod.make_sharded_train_step(
         dims, config, optimizer, mesh, state_shardings
     )

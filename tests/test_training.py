@@ -138,3 +138,49 @@ def test_entry_compiles_tiny():
     fn, args = __graft_entry__.entry()
     out = jax.eval_shape(fn, *args)
     assert out.shape == (2, 64, 51865)
+
+
+def test_zero2_shard_grad_op_step():
+    """SHARD_GRAD_OP (ZeRO-2): replicated params, fsdp-sharded moments; one
+    step must run and keep params replicated (train_fsdp_timestamps.py:2437)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from olmoasr_tpu.models.dims import ModelDimensions
+    from olmoasr_tpu.parallel import mesh as mesh_mod
+    from olmoasr_tpu.training import train as train_mod
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=48, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_vocab=51864, n_text_ctx=32, n_text_state=64,
+        n_text_head=4, n_text_layer=2,
+    )
+    mesh = mesh_mod.make_mesh(2, 4)
+    config = train_mod.TrainConfig(
+        train_steps=10, micro_batch_size=8, remat=False,
+        compute_dtype=jnp.float32,
+    )
+    opt = train_mod.make_optimizer(config)
+    state = train_mod.init_train_state(jax.random.PRNGKey(0), dims, config, opt)
+    state, shardings = train_mod.shard_train_state(state, mesh, zero2=True)
+    # params replicated
+    for leaf in jax.tree.leaves(shardings.params):
+        assert leaf.spec == P()
+    # at least one optimizer moment is fsdp-sharded
+    specs = [getattr(l, "spec", P()) for l in jax.tree.leaves(
+        shardings.opt_state, is_leaf=lambda x: hasattr(x, "spec"))]
+    assert any("fsdp" in str(s) for s in specs)
+
+    step = train_mod.make_sharded_train_step(dims, config, opt, mesh, shardings)
+    rng = np.random.default_rng(0)
+    T = dims.n_text_ctx
+    batch = {
+        "mel": jnp.asarray(rng.standard_normal((1, 8, 80, 96)), jnp.float32),
+        "text_input": jnp.asarray(rng.integers(0, 51864, (1, 8, T)), jnp.int32),
+        "text_target": jnp.asarray(rng.integers(0, 51864, (1, 8, T)), jnp.int32),
+        "padding_mask": jnp.zeros((1, 8, T, T), jnp.float32),
+    }
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
