@@ -22,12 +22,36 @@ import time
 import numpy as np
 
 
+def train_flops_per_sample(dims) -> float:
+    """Analytic fwd+bwd FLOPs for ONE training sample (30s audio + 448 text
+    positions), matmul terms only (softmax/LN omitted; <2%). bwd = 2x fwd.
+
+    This is the falsifiability bridge for the "beat H100 tokens/s/chip"
+    target (docs/TRAIN_PERF.md): with the reference's own peak-FLOPS method
+    (train_timestamps.py:61, H100 = 900e12 bf16), the break-even H100 MFU =
+    ours_tokens_per_s * flops_per_token / 900e12.
+    """
+    d, L_a = dims.n_audio_state, dims.n_audio_layer
+    dt, L_t = dims.n_text_state, dims.n_text_layer
+    Ta, Tt = dims.n_audio_ctx, dims.n_text_ctx  # 1500, 448
+    conv = 2 * 3 * dims.n_mels * d * (2 * Ta) + 2 * 3 * d * d * Ta
+    enc_layer = 8 * Ta * d * d + 4 * Ta * Ta * d + 16 * Ta * d * d
+    dec_layer = (
+        8 * Tt * dt * dt + 4 * Tt * Tt * dt  # self attn
+        + 4 * Tt * dt * dt + 4 * Ta * dt * dt + 4 * Tt * Ta * dt  # cross
+        + 16 * Tt * dt * dt  # mlp
+    )
+    logits = 2 * Tt * dt * (dims.n_vocab + 1)
+    fwd = conv + L_a * enc_layer + L_t * dec_layer + logits
+    return 3.0 * fwd  # fwd + bwd(2x)
+
+
 def bench_train():
-    """Training-step throughput (tokens/s/chip) on one chip.
+    """Training-step throughput (tokens/s/chip) + MFU on one chip.
 
     The reference's throughput metric is audio_min_per_GPU_second
-    (train_timestamps.py:1525-1538); we report both. Set
-    OLMOASR_BENCH_MODE=train to select this mode.
+    (train_timestamps.py:1525-1538); we report both, plus v5e MFU and the
+    break-even H100 MFU (docs/TRAIN_PERF.md). Set OLMOASR_BENCH_MODE=train.
     """
     import olmoasr_tpu.cache_config  # noqa: F401 (persistent XLA cache)
     import jax
@@ -73,6 +97,13 @@ def bench_train():
     # tokens = text positions + audio positions per the usual convention;
     # report text tokens/s (the H100 comparison basis) and audio-min/s
     tokens_per_step = micro_bs * T
+    flops_step = train_flops_per_sample(dims) * micro_bs
+    V5E_PEAK = 197e12  # bf16
+    H100_PEAK = 900e12  # reference train_timestamps.py:61
+    mfu_v5e = flops_step / dt / V5E_PEAK
+    # MFU the torch reference would need ON H100 to match this chip's
+    # absolute tokens/s — the falsifiable form of ">= H100 tokens/s/chip"
+    breakeven_h100_mfu = flops_step / dt / H100_PEAK
     print(
         json.dumps(
             {
@@ -80,6 +111,9 @@ def bench_train():
                 "value": round(tokens_per_step / dt, 1),
                 "unit": "text-tokens/s/chip",
                 "vs_baseline": round((micro_bs * 30.0 / 60.0) / dt, 4),
+                "mfu_v5e": round(mfu_v5e, 4),
+                "breakeven_h100_mfu": round(breakeven_h100_mfu, 4),
+                "flops_per_step": flops_step,
             }
         )
     )
