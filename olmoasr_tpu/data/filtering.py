@@ -200,3 +200,22 @@ def main(
     with open(os.path.join(out_dir, "filtering_report.json"), "w") as f:
         json.dump(report, f, indent=2)
     return report
+
+
+if __name__ == "__main__":
+    import argparse
+    import glob as _glob
+    import json as _json
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--tagged", required=True, help="glob of tagged JSONL shards")
+    p.add_argument("--filter_config", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--subsample", type=float, default=None)
+    p.add_argument("--num_workers", type=int, default=0)
+    a = p.parse_args()
+    stats = main(
+        sorted(_glob.glob(a.tagged)), a.out_dir, a.filter_config,
+        subsample=a.subsample, num_workers=a.num_workers,
+    )
+    print(_json.dumps(stats, default=str)[:2000])

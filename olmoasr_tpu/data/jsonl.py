@@ -72,3 +72,17 @@ def text_to_jsonl(
                 f.write(json.dumps(row) + "\n")
                 n += 1
     return n
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--in_dir", required=True, help="transcript tree")
+    p.add_argument("--out_path", required=True, help="output .jsonl[.gz]")
+    p.add_argument("--exts", nargs="*", default=["vtt", "srt"])
+    p.add_argument("--num_workers", type=int, default=0)
+    a = p.parse_args()
+    n = text_to_jsonl(a.in_dir, a.out_path, exts=tuple(a.exts),
+                      num_workers=a.num_workers)
+    print(f"wrote {n} rows -> {a.out_path}")

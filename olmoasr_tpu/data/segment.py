@@ -418,3 +418,23 @@ def preprocess_jsonls(
         for k, v in s.items():
             total[k] = total.get(k, 0) + v
     return total
+
+
+if __name__ == "__main__":
+    import argparse
+    import glob as _glob
+    import json as _json
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--shards", required=True, help="glob of raw JSONL shards")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--mode", default="transcript_only",
+                   choices=["transcript_only", "audio_only"])
+    p.add_argument("--num_workers", type=int, default=0)
+    a = p.parse_args()
+    stats = preprocess_jsonls(
+        sorted(_glob.glob(a.shards)), a.out_dir,
+        transcript_only=(a.mode == "transcript_only"),
+        num_workers=a.num_workers,
+    )
+    print(_json.dumps(stats))

@@ -303,3 +303,22 @@ def main(
     with open(os.path.join(out_dir, "tagging_report.json"), "w") as f:
         json.dump(report, f, indent=2)
     return report
+
+
+if __name__ == "__main__":
+    import argparse
+    import glob as _glob
+    import json as _json
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--shards", required=True, help="glob of JSONL shards")
+    p.add_argument("--config", default=None, help="tagging YAML")
+    p.add_argument("--tags", nargs="*", default=None)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--num_workers", type=int, default=0)
+    a = p.parse_args()
+    stats = main(
+        sorted(_glob.glob(a.shards)), a.out_dir,
+        tag_config=a.config, tags=a.tags, num_workers=a.num_workers,
+    )
+    print(_json.dumps(stats, default=str)[:2000])

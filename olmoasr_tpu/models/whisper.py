@@ -431,8 +431,12 @@ def init_cache(
         cross_k, ck_scale = _quantize_rows(cross_k)
         cross_v, cv_scale = _quantize_rows(cross_v)
     cross_v_il = None
+    # NEGATIVE RESULT (kept opt-in): the head-interleaved V twin replaces the
+    # kernel's expand dot with pltpu.repeat, but Mosaic lowers the lane tile
+    # as a slow relayout — measured 695 vs 947 RTFx at B=64. Default OFF.
     if (
         jax.default_backend() == "tpu"
+        and os.environ.get("OLMOASR_CROSS_VIL", "0") == "1"
         and os.environ.get("OLMOASR_PALLAS_CROSS_BLOCK", "1") == "1"
     ):
         # head-interleaved twin for the fused cross kernel (see KVCache);
