@@ -119,6 +119,63 @@ def bench_train():
     )
 
 
+def bench_longform():
+    """Batched long-form throughput: ``transcribe_many`` over N synthetic
+    ~2-minute files (sliding windows + temperature fallback + timestamp
+    segmentation — the full reference ``model.transcribe`` path,
+    eval.py:2077-2084, minus beams: greedy is the throughput configuration).
+    Set OLMOASR_BENCH_MODE=longform.
+    """
+    import olmoasr_tpu.cache_config  # noqa: F401
+    import numpy as _np
+
+    from olmoasr_tpu.api import build_model
+    from olmoasr_tpu.transcribe import transcribe_many
+
+    variant = os.environ.get("OLMOASR_BENCH_VARIANT", "small.en")
+    n_files = int(os.environ.get("OLMOASR_BENCH_FILES", "16"))
+    file_seconds = float(os.environ.get("OLMOASR_BENCH_FILE_SECONDS", "120"))
+    batch = int(os.environ.get("OLMOASR_BENCH_BATCH", "16"))
+
+    model = build_model(variant, inference=True, param_dtype=np.float32)
+    import jax.numpy as jnp
+
+    model.params = __import__("jax").tree.map(
+        lambda x: x.astype(jnp.bfloat16), model.params
+    )
+    rng = _np.random.default_rng(0)
+    wavs = [
+        (rng.standard_normal(int(16000 * file_seconds)) * 0.05).astype(_np.float32)
+        for _ in range(n_files)
+    ]
+    # random weights always fail the quality gates (escalating every window
+    # through all 6 temperatures); disable them so each window decodes once —
+    # the typical real-weights behavior this benchmark models
+    kwargs = dict(
+        temperature=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0), beam_size=None, best_of=None,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        no_speech_threshold=None, kv_quant=True, verbose=None,
+    )
+    # warm up compiles (one file)
+    transcribe_many(model, wavs[:1], batch_size=batch, **kwargs)
+    t0 = time.perf_counter()
+    outs = transcribe_many(model, wavs, batch_size=batch, **kwargs)
+    wall = time.perf_counter() - t0
+    assert len(outs) == n_files
+    rtfx = n_files * file_seconds / wall
+    print(
+        json.dumps(
+            {
+                "metric": f"long-form RTFx transcribe_many ({variant}, "
+                f"{n_files}x{file_seconds:.0f}s files, batch {batch}, int8 KV)",
+                "value": round(rtfx, 1),
+                "unit": "audio-sec/s/chip",
+                "vs_baseline": round(rtfx / 1000.0, 3),
+            }
+        )
+    )
+
+
 def main():
     import olmoasr_tpu.cache_config  # persistent XLA cache
     import jax
@@ -130,7 +187,7 @@ def main():
     from olmoasr_tpu.tokenizer import get_tokenizer
 
     variant = os.environ.get("OLMOASR_BENCH_VARIANT", "small.en")
-    batch = int(os.environ.get("OLMOASR_BENCH_BATCH", "32"))
+    batch = int(os.environ.get("OLMOASR_BENCH_BATCH", "128"))
     sample_len = int(os.environ.get("OLMOASR_BENCH_SAMPLE_LEN", "224"))
     iters = int(os.environ.get("OLMOASR_BENCH_ITERS", "5"))
     kv_quant = os.environ.get("OLMOASR_BENCH_KV_QUANT", "1") == "1"
@@ -193,7 +250,10 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("OLMOASR_BENCH_MODE") == "train":
+    mode = os.environ.get("OLMOASR_BENCH_MODE")
+    if mode == "train":
         bench_train()
+    elif mode == "longform":
+        bench_longform()
     else:
         main()

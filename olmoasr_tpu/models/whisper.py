@@ -655,6 +655,7 @@ def decode_step(
                 cross_o_w_eff, blocks["cross_o_b"],
                 cache.cross_k, cross_v_eff, cross_ks, cross_vs, li,
                 n_head=dims.n_text_head, v_interleaved=use_interleaved_v,
+                fast_softmax=os.environ.get("OLMOASR_FAST_SOFTMAX", "0") == "1",
             )
         elif use_pallas_cross:
             from olmoasr_tpu.ops.attention import cross_attend_decode

@@ -668,6 +668,7 @@ def _cross_block_kernel(
     *,
     n_head: int,
     v_interleaved: bool = False,
+    fast_softmax: bool = False,
 ):
     _, _, T, D = k_ref.shape
     dh = D // n_head
@@ -694,8 +695,22 @@ def _cross_block_kernel(
     logits = _qk_logits(k_ref[0, 0, :, :], qm, dd)  # (T, H); int8 MXU path
     logits = logits * ks_ref[0, 0, 0, :][:, None]  # per-key int8 scale
 
-    w = jax.nn.softmax(logits, axis=0)  # (T, H) fp32
-    w = w * vs_ref[0, 0, 0, :][:, None]  # fold per-key v scale
+    if fast_softmax and dd == jnp.bfloat16:
+        # exp in bf16: the softmax WEIGHTS are cast to bf16 for the value
+        # product anyway (GPU whisper uses fp16 weights, model.py:433), so
+        # computing the exponentials in bf16 only moves the rounding one op
+        # earlier; halves the VPU transcendental+elementwise traffic on the
+        # physically 128-lane-padded (T, H) block. Max + denominator stay f32.
+        m = jnp.max(logits, axis=0, keepdims=True)  # f32
+        e = jnp.exp((logits - m).astype(jnp.bfloat16))  # (T, H) bf16
+        ones_t = jnp.ones((1, T), jnp.bfloat16)
+        denom = jnp.dot(ones_t, e, preferred_element_type=jnp.float32)  # (1,H)
+        inv = (1.0 / denom).astype(jnp.bfloat16)
+        vsb = vs_ref[0, 0, 0, :].astype(jnp.bfloat16)
+        w = e * inv * vsb[:, None]  # stays bf16 end-to-end
+    else:
+        w = jax.nn.softmax(logits, axis=0)  # (T, H) fp32
+        w = w * vs_ref[0, 0, 0, :][:, None]  # fold per-key v scale
 
     if v_interleaved:
         # v columns are head-interleaved (col p = head p%H): the per-head
@@ -715,7 +730,8 @@ def _cross_block_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_head", "interpret", "v_interleaved")
+    jax.jit,
+    static_argnames=("n_head", "interpret", "v_interleaved", "fast_softmax"),
 )
 def cross_block_decode(
     x: jax.Array,  # (B, 1, D) residual stream (post self-attention)
@@ -734,6 +750,7 @@ def cross_block_decode(
     n_head: int,
     interpret: bool = False,
     v_interleaved: bool = False,
+    fast_softmax: bool = False,
 ) -> jax.Array:
     """Whole decode-step cross-attention sub-block in ONE kernel per layer:
     fp32 LN + q projection + int8 (or bf16) cross attention + output
@@ -780,7 +797,8 @@ def cross_block_decode(
     kv_bytes = T * D * (1 if ck.dtype == jnp.int8 else 2)
     out = pl.pallas_call(
         functools.partial(
-            _cross_block_kernel, n_head=n_head, v_interleaved=v_interleaved
+            _cross_block_kernel, n_head=n_head, v_interleaved=v_interleaved,
+            fast_softmax=fast_softmax,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 1, D), x.dtype),

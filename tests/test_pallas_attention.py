@@ -170,3 +170,34 @@ def test_cross_block_kernel_interleaved_v():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-5
         )
+
+
+def test_cross_block_fast_softmax_accuracy():
+    """bf16-exp softmax stays within the fp16-weights regime of the GPU ref."""
+    from olmoasr_tpu.models.whisper import layer_norm, _linear, sdpa
+    from olmoasr_tpu.ops.attention import cross_block_decode
+
+    B, T, D, H, L = 2, 96, 64, 4, 2
+    ks = jax.random.split(jax.random.PRNGKey(3), 12)
+    x = jax.random.normal(ks[0], (B, 1, D)).astype(jnp.bfloat16)
+    ln_g = jnp.ones((L, D), jnp.bfloat16)
+    ln_b = jnp.zeros((L, D), jnp.bfloat16)
+    wq = (jax.random.normal(ks[3], (L, D, D)) * 0.1).astype(jnp.bfloat16)
+    bq = jnp.zeros((L, D), jnp.bfloat16)
+    wo = (jax.random.normal(ks[5], (L, D, D)) * 0.1).astype(jnp.bfloat16)
+    bo = jnp.zeros((L, D), jnp.bfloat16)
+    ck_f = jax.random.normal(ks[7], (L, B, T, D))
+    cv_f = jax.random.normal(ks[8], (L, B, T, D))
+    ckq, cks = _quantize_rows(ck_f)
+    cvq, cvs = _quantize_rows(cv_f)
+
+    ref = cross_block_decode(
+        x, ln_g, ln_b, wq, bq, wo, bo, ckq, cvq, cks, cvs,
+        jnp.int32(0), n_head=H, interpret=True,
+    )
+    out = cross_block_decode(
+        x, ln_g, ln_b, wq, bq, wo, bo, ckq, cvq, cks, cvs,
+        jnp.int32(0), n_head=H, interpret=True, fast_softmax=True,
+    )
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max()
+    assert err < 0.06, err
