@@ -133,7 +133,10 @@ def segment_chime6(chime_dir: str, out_dir: Optional[str] = None) -> str:
             with open(tj, encoding="utf-8") as f:
                 utts = json.load(f)
             for utt in utts:
-                text = _re.sub(r"\[[^\]]*\]", "", utt.get("words", "")).strip()
+                text = _re.sub(
+                    r"\s+", " ",
+                    _re.sub(r"\[[^\]]*\]", "", utt.get("words", "")),
+                ).strip()
                 if not text:
                     continue
                 start, end = utt.get("start_time"), utt.get("end_time")

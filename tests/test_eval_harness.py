@@ -132,3 +132,150 @@ def test_chime6_loader(tmp_path):
     assert len(items) == 1  # noise-only utterance dropped
     assert items[0].text == "hello there"
     assert items[0].start == 1.0 and items[0].end == 3.5
+
+
+def test_hub5_remix_channel_native(tmp_path):
+    """Native NIST-SPHERE channel extraction (no sox): 2-channel PCM ->
+    per-channel mono wavs with the right samples."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    from olmoasr_tpu.eval.datasets import remix_channel
+
+    rate = 8000
+    a = (np.sin(np.arange(rate) * 0.1) * 10000).astype("<i2")
+    b = (np.cos(np.arange(rate) * 0.05) * 8000).astype("<i2")
+    inter = np.empty(2 * rate, "<i2")
+    inter[0::2], inter[1::2] = a, b
+    header = (
+        b"NIST_1A\n   1024\n"
+        b"channel_count -i 2\n"
+        b"sample_rate -i 8000\n"
+        b"sample_coding -s3 pcm\n"
+        b"end_head\n"
+    )
+    sph = tmp_path / "en_4093.sph"
+    with open(sph, "wb") as f:
+        f.write(header.ljust(1024, b" "))
+        f.write(inter.tobytes())
+
+    import shutil as _sh
+    import olmoasr_tpu.eval.datasets as ds_mod
+    # force the native path even when sox exists
+    orig_which = _sh.which
+    _sh.which = lambda name: None if name == "sox" else orig_which(name)
+    try:
+        out_a = str(tmp_path / "en_4093_A.wav")
+        out_b = str(tmp_path / "en_4093_B.wav")
+        assert remix_channel(str(sph), out_a, "A")
+        assert remix_channel(str(sph), out_b, "B")
+    finally:
+        _sh.which = orig_which
+    ra, da = wavfile.read(out_a)
+    rb, db = wavfile.read(out_b)
+    assert ra == rate and np.array_equal(da, a)
+    assert rb == rate and np.array_equal(db, b)
+
+
+def test_hub5_loader_remixes_from_sphere(tmp_path):
+    """Hub5Loader materializes <id>_<ch>.wav from the LDC sphere tree."""
+    import numpy as np
+
+    rate = 8000
+    a = (np.ones(rate) * 1000).astype("<i2")
+    b = (np.ones(rate) * -1000).astype("<i2")
+    inter = np.empty(2 * rate, "<i2")
+    inter[0::2], inter[1::2] = a, b
+    sph_dir = tmp_path / "hub5e_00" / "english"
+    sph_dir.mkdir(parents=True)
+    header = (
+        b"NIST_1A\n   1024\n"
+        b"channel_count -i 2\nsample_rate -i 8000\nsample_coding -s3 pcm\nend_head\n"
+    )
+    with open(sph_dir / "en_4093.sph", "wb") as f:
+        f.write(header.ljust(1024, b" "))
+        f.write(inter.tobytes())
+    stm = tmp_path / "hub5e00.english.000405.stm"
+    stm.write_text(
+        ";; header\n"
+        "en_4093 A en_4093_A 0.20 0.90 <o,en,f> HELLO THERE\n"
+        "sw_2001 B sw_2001_B 1.00 2.00 <o,sw,m> SWITCHBOARD LINE\n"
+    )
+    from olmoasr_tpu.eval.datasets import Hub5Loader
+
+    items = Hub5Loader(str(tmp_path), subset="callhome").load()
+    assert len(items) == 1
+    it = items[0]
+    assert it.text == "HELLO THERE"
+    assert it.start == 0.2 and it.end == 0.9
+    import os as _os
+
+    assert _os.path.isfile(it.audio)
+
+
+def test_chime6_segmentation_native(tmp_path):
+    """segment_chime6 cuts per-utterance wavs + manifest without pydub."""
+    import json as _json
+
+    import numpy as np
+    from scipy.io import wavfile
+
+    from olmoasr_tpu.eval.get_eval_set import segment_chime6
+
+    root = tmp_path / "chime6"
+    (root / "audio").mkdir(parents=True)
+    (root / "transcripts").mkdir()
+    rate = 16000
+    wav = (np.arange(rate * 10) % 32000 - 16000).astype(np.int16)
+    wavfile.write(str(root / "audio" / "S01_P01.wav"), rate, wav)
+    utts = [
+        {"words": "hello [noise] world", "start_time": "0:00:01.0",
+         "end_time": "0:00:03.5", "speaker": "P01"},
+        {"words": "[noise]", "start_time": "0:00:04", "end_time": "0:00:05"},
+        {"words": "second utterance", "start_time": "0:00:06",
+         "end_time": "0:00:08"},
+    ]
+    (root / "transcripts" / "S01.json").write_text(_json.dumps(utts))
+
+    manifest = segment_chime6(str(root))
+    rows = [_json.loads(l) for l in open(manifest)]
+    assert len(rows) == 2  # the pure-[noise] utterance is dropped
+    assert rows[0]["text"] == "hello world"
+    r0, seg0 = wavfile.read(str(root / rows[0]["audio"]))
+    assert r0 == rate and len(seg0) == int(2.5 * rate)
+
+
+def test_hf_dataset_loader_monkeypatched(monkeypatch, tmp_path):
+    """HFDatasetLoader maps rows -> EvalItems (datasets stubbed out)."""
+    import numpy as np
+
+    import olmoasr_tpu.eval.datasets as ds_mod
+
+    class FakeDS:
+        def __init__(self, rows):
+            self.rows = rows
+
+        def cast_column(self, name, typ):
+            return self
+
+        def __iter__(self):
+            return iter(self.rows)
+
+    rows = [
+        {"audio": {"array": np.zeros(16000), "sampling_rate": 16000},
+         "transcription": "hello world"},
+        {"audio": {"array": np.ones(8000), "sampling_rate": 16000},
+         "transcription": ""},
+    ]
+
+    import types, sys
+    fake_mod = types.SimpleNamespace(
+        load_dataset=lambda **kw: FakeDS(rows), Audio=lambda **kw: None
+    )
+    monkeypatch.setitem(sys.modules, "datasets", fake_mod)
+
+    loader = ds_mod.HFDatasetLoader(str(tmp_path), "fleurs")
+    items = loader.load()
+    assert len(items) == 1  # empty-text row dropped
+    assert items[0].text == "hello world"
+    assert isinstance(items[0].audio, np.ndarray)
