@@ -706,8 +706,9 @@ def _cross_block_kernel(
         ones_t = jnp.ones((1, T), jnp.bfloat16)
         denom = jnp.dot(ones_t, e, preferred_element_type=jnp.float32)  # (1,H)
         inv = (1.0 / denom).astype(jnp.bfloat16)
-        vsb = vs_ref[0, 0, 0, :].astype(jnp.bfloat16)
-        w = e * inv * vsb[:, None]  # stays bf16 end-to-end
+        # minor-dim insert must happen in f32 (Mosaic relayout rule), cast after
+        vsb = vs_ref[0, 0, 0, :][:, None].astype(jnp.bfloat16)  # (T, 1)
+        w = e * inv * vsb  # stays bf16 end-to-end
     else:
         w = jax.nn.softmax(logits, axis=0)  # (T, H) fp32
         w = w * vs_ref[0, 0, 0, :][:, None]  # fold per-key v scale
