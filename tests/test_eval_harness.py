@@ -279,3 +279,22 @@ def test_hf_dataset_loader_monkeypatched(monkeypatch, tmp_path):
     assert len(items) == 1  # empty-text row dropped
     assert items[0].text == "hello world"
     assert isinstance(items[0].audio, np.ndarray)
+
+
+def test_figures_table_and_chart(tmp_path):
+    import json as _json
+
+    from olmoasr_tpu.eval import figures
+
+    for i, (name, wer) in enumerate(
+        [("librispeech_clean", 0.031), ("tedlium", 0.044)]
+    ):
+        with open(tmp_path / f"r{i}.json", "w") as f:
+            _json.dump({"eval_set": name, "wer": wer, "n_samples": 100}, f)
+    rows = figures.load_results([str(tmp_path / "*.json")])
+    table = figures.wer_table(rows, "small.en")
+    assert "librispeech_clean" in table and "3.10" in table
+    out = figures.wer_bar_chart(rows, str(tmp_path / "fig.png"), "small.en")
+    import os as _os
+
+    assert out and _os.path.getsize(out) > 1000
