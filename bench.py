@@ -67,8 +67,9 @@ def bench_train():
 
     dims = VARIANT_TO_DIMS[variant]
     mesh = mesh_mod.make_mesh(len(jax.devices()), 1)
+    remat = os.environ.get("OLMOASR_BENCH_REMAT", "1") == "1"
     config = train_mod.TrainConfig(
-        train_steps=1000, micro_batch_size=micro_bs, remat=True
+        train_steps=1000, micro_batch_size=micro_bs, remat=remat
     )
     optimizer = train_mod.make_optimizer(config)
     state = train_mod.init_train_state(jax.random.PRNGKey(0), dims, config, optimizer)
@@ -107,7 +108,7 @@ def bench_train():
     print(
         json.dumps(
             {
-                "metric": f"training step throughput ({variant}, micro_bs={micro_bs}, remat, bf16)",
+                "metric": f"training step throughput ({variant}, micro_bs={micro_bs}, remat={remat}, bf16)",
                 "value": round(tokens_per_step / dt, 1),
                 "unit": "text-tokens/s/chip",
                 "vs_baseline": round((micro_bs * 30.0 / 60.0) / dt, 4),
