@@ -229,18 +229,23 @@ def main(
                 if eval_mode == "sync":
                     # reference evaluate(): in-loop model.decode WER with
                     # best-checkpoint gating (train_timestamps.py:1835-2089)
-                    wer = run_sync_eval(
-                        state, dims, eval_set, eval_dir,
-                        max_samples=eval_max_samples,
-                    )
-                    logger.log({"eval/wer": wer}, step=global_step)
-                    final_metrics["eval/wer"] = wer
-                    if best_eval_wer is None or wer < best_eval_wer:
-                        best_eval_wer = wer
-                        ckpt_mod.save_eval_checkpoint(
-                            os.path.join(ckpt_dir, exp_name, "best.npz"),
-                            jax.device_get(state), dims,
+                    try:
+                        wer = run_sync_eval(
+                            state, dims, eval_set, eval_dir,
+                            max_samples=eval_max_samples,
                         )
+                    except Exception as e:  # missing eval data must not
+                        logger.alert("sync eval failed", str(e))  # kill a run
+                        wer = None
+                    if wer is not None:
+                        logger.log({"eval/wer": wer}, step=global_step)
+                        final_metrics["eval/wer"] = wer
+                        if best_eval_wer is None or wer < best_eval_wer:
+                            best_eval_wer = wer
+                            ckpt_mod.save_eval_checkpoint(
+                                os.path.join(ckpt_dir, exp_name, "best.npz"),
+                                jax.device_get(state), dims,
+                            )
                 else:
                     eval_ckpt = os.path.join(
                         ckpt_dir, exp_name, f"eval_{global_step}.npz"

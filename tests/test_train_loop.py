@@ -129,3 +129,36 @@ def test_batch_loader_two_shards_disjoint_and_covering(shard_dir):
         seen.append(set(int(i) for i in loader._indices()))
     assert seen[0].isdisjoint(seen[1])
     assert len(seen[0] | seen[1]) >= len(ds) - (len(ds) % (2 * 4))
+
+
+def test_sync_eval_best_gating(shard_dir, tmp_path, monkeypatch):
+    """eval_mode=sync: WER logged, best.npz written only on improvement, and
+    an eval failure must not kill the run."""
+    monkeypatch.chdir(tmp_path)
+    wers = iter([0.5, RuntimeError("no eval data"), 0.3])
+
+    def fake_eval(state, dims, eval_set, eval_dir, **kw):
+        v = next(wers)
+        if isinstance(v, Exception):
+            raise v
+        return v
+
+    monkeypatch.setattr(train_loop, "run_sync_eval", fake_eval)
+    metrics = train_loop.main(
+        variant=TINY,
+        train_shards=str(shard_dir / "*.jsonl.gz"),
+        exp_name="sync",
+        train_steps=100,
+        eff_batch_size=16,
+        micro_batch_size=2,
+        fsdp_size=2,
+        remat=False,
+        ckpt_dir=str(tmp_path / "ckpts_sync"),
+        ckpt_every=0,
+        log_every=1,
+        eval_every=1,
+        eval_mode="sync",
+        max_steps_this_run=3,
+    )
+    assert metrics["eval/wer"] == 0.3
+    assert os.path.isfile(tmp_path / "ckpts_sync" / "sync" / "best.npz")
