@@ -261,14 +261,14 @@ def encode_audio(
     pos = jnp.asarray(_enc_pos_embedding(dims.n_audio_ctx, dims.n_audio_state))
     x = (x + pos.astype(x.dtype)).astype(x.dtype)
 
-    # Optional flash attention for the 1500-position self-attention
-    # (OLMOASR_FLASH=1). Off by default: measured ~2x SLOWER than XLA's fused
-    # attention on v5e at B=32/T=1536/dh=64 with default block sizes (XLA's
-    # logits materialization is hidden behind the MXU at this arithmetic
-    # intensity). Revisit with tuned BlockSizes for training shapes.
-    use_flash = (
-        jax.default_backend() == "tpu"
-        and os.environ.get("OLMOASR_FLASH", "0") == "1"
+    # Flash attention for the 1500-position self-attention. Batch-dependent:
+    # at B=32 XLA's fused attention wins (r1 measured flash ~2x slower), but
+    # at B>=64 flash wins (B=128: 980.6 vs 962 RTFx end-to-end,
+    # perf/r2_ab6.log) — the bigger grid amortizes its block overheads.
+    # OLMOASR_FLASH=1/0 overrides the batch heuristic either way.
+    flash_env = os.environ.get("OLMOASR_FLASH", "")
+    use_flash = jax.default_backend() == "tpu" and (
+        flash_env == "1" or (flash_env != "0" and mel.shape[0] >= 64)
     )
 
     def attn_fn(q, k, v):
