@@ -67,6 +67,7 @@ class _FileState:
         clip_timestamps: Union[str, List[float]],
         hallucination_silence_threshold: Optional[float],
         language: str,
+        precomputed_mel: Optional[np.ndarray] = None,
     ):
         self.model = model
         self.tokenizer = tokenizer
@@ -82,8 +83,14 @@ class _FileState:
         self.language = language
         self.punctuation = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
 
-        # Pad 30 seconds of silence to the input audio, for slicing
-        mel = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
+        # Pad 30 seconds of silence to the input audio, for slicing.
+        # ``precomputed_mel`` lets transcribe_many batch the log-mel of many
+        # files into one device call (the per-file STFT was measured at
+        # ~0.9s/2min-file — serial, it dominated batched long-form).
+        if precomputed_mel is not None:
+            mel = precomputed_mel
+        else:
+            mel = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
         self.mel = np.asarray(mel)
         self.content_frames = self.mel.shape[-1] - N_FRAMES
         self.content_duration = float(
@@ -567,10 +574,34 @@ def transcribe_many(
         [temperature] if isinstance(temperature, (int, float)) else list(temperature)
     )
 
+    # Batch the log-mel STFT of all in-memory waveforms into ONE device call
+    # (quantized to 30s length buckets so the jit shape is stable). Paths and
+    # very long files fall back to the per-file path.
+    from olmoasr_tpu.audio import load_audio
+
+    wavs = [load_audio(a) if isinstance(a, str) else np.asarray(a) for a in audios]
+    mels: List[Optional[np.ndarray]] = [None] * len(wavs)
+    batchable = [
+        i for i, w in enumerate(wavs)
+        if w.ndim == 1 and len(w) <= 60 * 60 * SAMPLE_RATE
+    ]
+    if len(batchable) > 1:
+        max_len = max(len(wavs[i]) for i in batchable)
+        max_len = -(-max_len // N_SAMPLES) * N_SAMPLES  # round up to 30s
+        stacked = np.zeros((len(batchable), max_len), np.float32)
+        for j, i in enumerate(batchable):
+            stacked[j, : len(wavs[i])] = wavs[i]
+        batch_mel = np.asarray(
+            log_mel_spectrogram(stacked, model.dims.n_mels, padding=N_SAMPLES)
+        )
+        for j, i in enumerate(batchable):
+            n_frames = len(wavs[i]) // HOP_LENGTH + N_FRAMES
+            mels[i] = batch_mel[j, :, :n_frames]
+
     states: List[_FileState] = []
-    for audio in audios:
+    for audio, wav, mel in zip(audios, wavs, mels):
         opts = dict(decode_options)
-        language = _resolve_language(model, audio, opts, verbose)
+        language = _resolve_language(model, wav, opts, verbose)
         tokenizer = get_tokenizer(
             model.is_multilingual,
             num_languages=model.num_languages,
@@ -579,7 +610,7 @@ def transcribe_many(
         )
         states.append(
             _FileState(
-                model, audio, tokenizer,
+                model, wav, tokenizer,
                 verbose=verbose,
                 compression_ratio_threshold=compression_ratio_threshold,
                 logprob_threshold=logprob_threshold,
@@ -592,6 +623,7 @@ def transcribe_many(
                 clip_timestamps=clip_timestamps,
                 hallucination_silence_threshold=hallucination_silence_threshold,
                 language=language,
+                precomputed_mel=mel,
             )
         )
 
