@@ -161,10 +161,8 @@ def bench_longform():
         no_speech_threshold=None, kv_quant=True, verbose=None,
         without_timestamps=True,
     )
-    # warm up compiles with the PADDED batch shape the timed region uses
-    # (a single-file warmup compiles B=1 and leaves the real program cold)
-    warm = [wavs[0][: 16000 * 35]] * 2
-    transcribe_many(model, warm, batch_size=batch, **kwargs)
+    # warm up every program (batched mel + padded decode) with one full pass
+    transcribe_many(model, wavs, batch_size=batch, **kwargs)
     t0 = time.perf_counter()
     outs = transcribe_many(model, wavs, batch_size=batch, **kwargs)
     wall = time.perf_counter() - t0

@@ -88,10 +88,13 @@ class _FileState:
         # files into one device call (the per-file STFT was measured at
         # ~0.9s/2min-file — serial, it dominated batched long-form).
         if precomputed_mel is not None:
-            mel = precomputed_mel
+            # may be a DEVICE array (transcribe_many keeps the batched mel on
+            # chip; pulling it to host + re-uploading windows costs ~20MB/file
+            # of round-trips through the axon tunnel)
+            self.mel = precomputed_mel
         else:
             mel = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
-        self.mel = np.asarray(mel)
+            self.mel = np.asarray(mel)
         self.content_frames = self.mel.shape[-1] - N_FRAMES
         self.content_duration = float(
             self.content_frames * HOP_LENGTH / SAMPLE_RATE
@@ -150,9 +153,16 @@ class _FileState:
                 seek_clip_end - self.seek,
             )
             mel_segment = self.mel[:, self.seek : self.seek + segment_size]
-            mel_segment = pad_or_trim(mel_segment, N_FRAMES, axis=-1).astype(
-                np.float32
-            )
+            if isinstance(mel_segment, np.ndarray):
+                mel_segment = pad_or_trim(mel_segment, N_FRAMES, axis=-1).astype(
+                    np.float32
+                )
+            else:  # device slice: pad on device, no host round-trip
+                if segment_size < N_FRAMES:
+                    mel_segment = jnp.pad(
+                        mel_segment, ((0, 0), (0, N_FRAMES - segment_size))
+                    )
+                mel_segment = mel_segment.astype(jnp.float32)
             self._segment_size = segment_size
             self._mel_segment = mel_segment
             return mel_segment
@@ -477,7 +487,7 @@ def _decode_batch_with_fallback(
         n_real = len(batch)
         if pad_to and n_real < pad_to:
             batch.extend([batch[-1]] * (pad_to - n_real))
-        out = model.decode(jnp.asarray(np.stack(batch)), options)
+        out = model.decode(jnp.stack(batch), options)
         if not isinstance(out, list):
             out = [out]
         out = out[:n_real]
@@ -591,9 +601,9 @@ def transcribe_many(
         stacked = np.zeros((len(batchable), max_len), np.float32)
         for j, i in enumerate(batchable):
             stacked[j, : len(wavs[i])] = wavs[i]
-        batch_mel = np.asarray(
-            log_mel_spectrogram(stacked, model.dims.n_mels, padding=N_SAMPLES)
-        )
+        batch_mel = log_mel_spectrogram(
+            stacked, model.dims.n_mels, padding=N_SAMPLES
+        )  # stays on device; _FileState slices windows on device
         for j, i in enumerate(batchable):
             n_frames = len(wavs[i]) // HOP_LENGTH + N_FRAMES
             mels[i] = batch_mel[j, :, :n_frames]
