@@ -24,6 +24,7 @@ Host work per ``decode()`` call: tokenizer decode + gzip compression ratio.
 from __future__ import annotations
 
 import functools
+import os
 import zlib
 from dataclasses import dataclass, field, replace
 from typing import Dict, List, Optional, Sequence, Tuple, Union
@@ -375,7 +376,7 @@ def _decode_greedy_jit(
     rng: jax.Array,
     compute_dtype=jnp.bfloat16,
     kv_quant: bool = False,
-    chunk: int = 32,
+    chunk: Optional[int] = None,
 ):
     """Encoder + prefill + chunked sampling with host-side early exit.
 
@@ -391,6 +392,10 @@ def _decode_greedy_jit(
         compute_dtype, kv_quant,
     )
     greedy_only = bool(np.asarray(temperature) == 0.0)
+    if chunk is None:
+        # granularity of the host early-exit sync; on high-latency links
+        # (axon tunnel) fewer, larger chunks cut per-decode round trips
+        chunk = int(os.environ.get("OLMOASR_DECODE_CHUNK", "32"))
     n_chunks = (sample_len + chunk - 1) // chunk
     for c in range(n_chunks):
         steps = min(chunk, sample_len - c * chunk)
