@@ -155,8 +155,12 @@ def bench_longform():
     # ... and decode without timestamp tokens: a random model emits RANDOM
     # timestamps, which makes the seek machine crawl in tiny increments
     # (real weights advance ~a full window per round)
+    # OLMOASR_BENCH_BEAM=1 switches to the reference's long-form eval config
+    # (beam_size=5/best_of=5, eval.py:2077-2084) instead of greedy throughput
+    beam = os.environ.get("OLMOASR_BENCH_BEAM", "0") == "1"
     kwargs = dict(
-        temperature=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0), beam_size=None, best_of=None,
+        temperature=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        beam_size=5 if beam else None, best_of=5 if beam else None,
         compression_ratio_threshold=None, logprob_threshold=None,
         no_speech_threshold=None, kv_quant=True, verbose=None,
         without_timestamps=True,
@@ -172,7 +176,8 @@ def bench_longform():
         json.dumps(
             {
                 "metric": f"long-form RTFx transcribe_many ({variant}, "
-                f"{n_files}x{file_seconds:.0f}s files, batch {batch}, int8 KV)",
+                f"{n_files}x{file_seconds:.0f}s files, batch {batch}, "
+                f"{'beam5' if beam else 'greedy'}, int8 KV)",
                 "value": round(rtfx, 1),
                 "unit": "audio-sec/s/chip",
                 "vs_baseline": round(rtfx / 1000.0, 3),
