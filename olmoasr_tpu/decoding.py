@@ -474,6 +474,12 @@ def _beam_step(carry, i, params, dims, cfg, B, K):
         index=cache.index,
         cross_k_scale=cache.cross_k_scale,
         cross_v_scale=cache.cross_v_scale,
+        # self scales must follow their rows; cross twins are row-invariant
+        self_k_scale=None if cache.self_k_scale is None
+        else cache.self_k_scale[:, gather_rows],
+        self_v_scale=None if cache.self_v_scale is None
+        else cache.self_v_scale[:, gather_rows],
+        cross_v_il=cache.cross_v_il,
     )
     beam_lp = best_live_lp
     next_logits, cache = model_mod.decode_step(
@@ -660,7 +666,8 @@ def decode(
     # multilingual checkpoints have >= 51865 tokens (language + task specials);
     # derive from the vocab like [pip:whisper] ModelDimensions-based dispatch.
     multilingual = dims.n_vocab >= 51865
-    num_languages = dims.n_vocab - 51765 if multilingual else 99
+    # whisper's formula (model.py num_languages): n_vocab - 51765 - int(ml)
+    num_languages = dims.n_vocab - 51765 - 1 if multilingual else 99
     tokenizer = get_tokenizer(
         multilingual=multilingual, num_languages=num_languages,
         language=language, task=options.task,

@@ -336,9 +336,13 @@ def remix_channel(sph_path: str, wav_path: str, channel: str) -> bool:
             fmt = fields.get("sample_coding", "pcm")
             if "pcm" not in fmt:
                 return False  # ulaw/shorten need sox
+            # sample_byte_format: '10' = big-endian (the common NIST layout),
+            # '01' = little-endian
+            byte_fmt = fields.get("sample_byte_format", "01")
+            dtype = ">i2" if byte_fmt == "10" else "<i2"
             f.seek(header_size)
-            data = np.frombuffer(f.read(), dtype="<i2")
-        mono = data.reshape(-1, n_ch)[:, ch_idx]
+            data = np.frombuffer(f.read(), dtype=dtype)
+        mono = data.reshape(-1, n_ch)[:, ch_idx].astype("<i2")
         from scipy.io import wavfile
 
         wavfile.write(wav_path, rate, np.ascontiguousarray(mono))
@@ -379,7 +383,11 @@ class Hub5Loader(BaseDatasetLoader):
                     continue
                 if "ignore_time_segment_in_scoring" in text:
                     continue
-                text = re.split(r"<[^>]+>", text)[-1].strip()  # strip STM tags
+                # strip the leading STM tag exactly like the reference
+                # (eval.py:790: re.split('<[^>]+>', line)[-1]) — NB this also
+                # drops words BEFORE any inline tag, faithfully reproducing
+                # the reference's behavior on nonstandard lines
+                text = re.split(r"<[^>]+>", text)[-1].strip()
                 audio = os.path.join(
                     self.eval_dir, "wav", f"{wav_id.lower()}_{channel}.wav"
                 )
@@ -540,14 +548,33 @@ class HFDatasetLoader(BaseDatasetLoader):
             kwargs["token"] = self.hf_token
         ds = load_dataset(**kwargs)
         ds = ds.cast_column("audio", Audio(sampling_rate=16000))
+
+        class _LazyAudio:
+            """Decode the waveform on access — materializing a whole split of
+            hours-long files (earnings21/22, rev16) would OOM the host."""
+
+            def __init__(self, dataset, index):
+                self._ds, self._i = dataset, index
+
+            def load(self) -> np.ndarray:
+                return np.asarray(
+                    self._ds[self._i]["audio"]["array"], dtype=np.float32
+                )
+
         items: List[EvalItem] = []
-        for i, row in enumerate(ds):
-            audio = row["audio"]
-            wav = np.asarray(audio["array"], dtype=np.float32)
-            text = row.get(text_col) or ""
+        texts = ds.remove_columns(
+            [c for c in ds.column_names if c != text_col]
+        )
+        for i in range(len(ds)):
+            text = texts[i].get(text_col) or ""
             if not text.strip():
                 continue
-            items.append(EvalItem(audio=wav, text=text, id=f"{self.eval_set}_{i}"))
+            items.append(
+                EvalItem(
+                    audio=_LazyAudio(ds, i), text=text,
+                    id=f"{self.eval_set}_{i}",
+                )
+            )
         return items
 
 

@@ -119,17 +119,31 @@ def segment_chime6(chime_dir: str, out_dir: Optional[str] = None) -> str:
         or _glob.glob(os.path.join(chime_dir, "transcriptions", "eval", "*.json"))
     )
     n = 0
-    with open(manifest, "w", encoding="utf-8") as mf:
-        for tj in trans:
-            session = os.path.splitext(os.path.basename(tj))[0]
+    wav_cache: dict = {}
+
+    def session_wav(session: str, speaker):
+        """The utterance speaker's own worn mic when present (the reference
+        cuts each utterance from that speaker's binaural recording), else the
+        session's first P-mic."""
+        cand = os.path.join(chime_dir, "audio", f"{session}_{speaker}.wav")
+        if not (speaker and os.path.isfile(cand)):
             wavs = sorted(
                 _glob.glob(os.path.join(chime_dir, "audio", f"{session}_P*.wav"))
             )
             if not wavs:
-                continue
-            rate, data = wavfile.read(wavs[0])
+                return None, None, None
+            cand = wavs[0]
+        if cand not in wav_cache:
+            rate, data = wavfile.read(cand)
             if data.ndim > 1:
                 data = data[:, 0]
+            wav_cache[cand] = (rate, data)
+        mic = os.path.splitext(os.path.basename(cand))[0].split("_")[-1]
+        return (*wav_cache[cand], mic)
+
+    with open(manifest, "w", encoding="utf-8") as mf:
+        for tj in trans:
+            session = os.path.splitext(os.path.basename(tj))[0]
             with open(tj, encoding="utf-8") as f:
                 utts = json.load(f)
             for utt in utts:
@@ -139,9 +153,14 @@ def segment_chime6(chime_dir: str, out_dir: Optional[str] = None) -> str:
                 ).strip()
                 if not text:
                     continue
+                rate, data, mic = session_wav(session, utt.get("speaker"))
+                if data is None:
+                    continue
                 start, end = utt.get("start_time"), utt.get("end_time")
                 if isinstance(start, dict):
-                    start, end = next(iter(start.values())), next(iter(end.values()))
+                    # per-device timestamp dicts: use the chosen mic's clock
+                    key = mic if mic in start else next(iter(start))
+                    start, end = start[key], end[key]
                 s = int(_ts_seconds(start) * rate)
                 e = int(_ts_seconds(end) * rate)
                 if e <= s or (e - s) > 30 * rate:

@@ -60,11 +60,12 @@ class EvalResult:
 
 
 def _item_waveform(item: EvalItem) -> np.ndarray:
-    wav = (
-        item.audio
-        if isinstance(item.audio, np.ndarray)
-        else load_audio(item.audio)
-    )
+    if isinstance(item.audio, np.ndarray):
+        wav = item.audio
+    elif hasattr(item.audio, "load"):  # lazy decoder (HFDatasetLoader)
+        wav = item.audio.load()
+    else:
+        wav = load_audio(item.audio)
     if item.start is not None:
         s = int(item.start * SAMPLE_RATE)
         e = int((item.end if item.end is not None else item.start + 30) * SAMPLE_RATE)

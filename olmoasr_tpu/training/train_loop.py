@@ -228,15 +228,23 @@ def main(
             ):
                 if eval_mode == "sync":
                     # reference evaluate(): in-loop model.decode WER with
-                    # best-checkpoint gating (train_timestamps.py:1835-2089)
-                    try:
-                        wer = run_sync_eval(
-                            state, dims, eval_set, eval_dir,
-                            max_samples=eval_max_samples,
+                    # best-checkpoint gating (train_timestamps.py:1835-2089).
+                    # Multihost: device_get on globally-sharded params is not
+                    # addressable from one process — use async eval there.
+                    wer = None
+                    if _pcount() > 1:
+                        logger.alert(
+                            "sync eval unsupported multihost",
+                            "use eval_mode='async' (subprocess) instead",
                         )
-                    except Exception as e:  # missing eval data must not
-                        logger.alert("sync eval failed", str(e))  # kill a run
-                        wer = None
+                    else:
+                        try:
+                            wer = run_sync_eval(
+                                state, dims, eval_set, eval_dir,
+                                max_samples=eval_max_samples,
+                            )
+                        except Exception as e:  # missing eval data must
+                            logger.alert("sync eval failed", str(e))  # not kill
                     if wer is not None:
                         logger.log({"eval/wer": wer}, step=global_step)
                         final_metrics["eval/wer"] = wer

@@ -591,22 +591,31 @@ def transcribe_many(
 
     wavs = [load_audio(a) if isinstance(a, str) else np.asarray(a) for a in audios]
     mels: List[Optional[np.ndarray]] = [None] * len(wavs)
+    # the STFT materializes (B, frames, 400) f32 + complex intermediates on
+    # device (~5.5x the padded audio bytes): cap the per-file length and the
+    # per-group sample budget so a batch of hour-long files cannot OOM the
+    # chip; oversized files fall back to the per-file path
+    MAX_FILE_S = 10 * 60
+    GROUP_BUDGET = 128 * 10**6  # samples per batched STFT call (~3GB interm.)
     batchable = [
         i for i, w in enumerate(wavs)
-        if w.ndim == 1 and len(w) <= 60 * 60 * SAMPLE_RATE
+        if w.ndim == 1 and len(w) <= MAX_FILE_S * SAMPLE_RATE
     ]
     if len(batchable) > 1:
         max_len = max(len(wavs[i]) for i in batchable)
         max_len = -(-max_len // N_SAMPLES) * N_SAMPLES  # round up to 30s
-        stacked = np.zeros((len(batchable), max_len), np.float32)
-        for j, i in enumerate(batchable):
-            stacked[j, : len(wavs[i])] = wavs[i]
-        batch_mel = log_mel_spectrogram(
-            stacked, model.dims.n_mels, padding=N_SAMPLES
-        )  # stays on device; _FileState slices windows on device
-        for j, i in enumerate(batchable):
-            n_frames = len(wavs[i]) // HOP_LENGTH + N_FRAMES
-            mels[i] = batch_mel[j, :, :n_frames]
+        per_group = max(int(GROUP_BUDGET // max_len), 1)
+        for g in range(0, len(batchable), per_group):
+            group = batchable[g : g + per_group]
+            stacked = np.zeros((len(group), max_len), np.float32)
+            for j, i in enumerate(group):
+                stacked[j, : len(wavs[i])] = wavs[i]
+            batch_mel = log_mel_spectrogram(
+                stacked, model.dims.n_mels, padding=N_SAMPLES
+            )  # stays on device; _FileState slices windows on device
+            for j, i in enumerate(group):
+                n_frames = len(wavs[i]) // HOP_LENGTH + N_FRAMES
+                mels[i] = batch_mel[j, :, :n_frames]
 
     states: List[_FileState] = []
     for audio, wav, mel in zip(audios, wavs, mels):

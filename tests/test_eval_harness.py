@@ -254,12 +254,19 @@ def test_hf_dataset_loader_monkeypatched(monkeypatch, tmp_path):
     class FakeDS:
         def __init__(self, rows):
             self.rows = rows
+            self.column_names = ["audio", "transcription"]
 
         def cast_column(self, name, typ):
             return self
 
-        def __iter__(self):
-            return iter(self.rows)
+        def remove_columns(self, cols):
+            return self
+
+        def __len__(self):
+            return len(self.rows)
+
+        def __getitem__(self, i):
+            return self.rows[i]
 
     rows = [
         {"audio": {"array": np.zeros(16000), "sampling_rate": 16000},
@@ -278,7 +285,10 @@ def test_hf_dataset_loader_monkeypatched(monkeypatch, tmp_path):
     items = loader.load()
     assert len(items) == 1  # empty-text row dropped
     assert items[0].text == "hello world"
-    assert isinstance(items[0].audio, np.ndarray)
+    # audio decodes lazily (whole splits of hour-long files must not
+    # materialize up front)
+    wav = items[0].audio.load()
+    assert isinstance(wav, np.ndarray) and len(wav) == 16000
 
 
 def test_figures_table_and_chart(tmp_path):
