@@ -49,6 +49,9 @@ class TrainConfig:
     warmup_frac: float = 0.002  # warmup = 0.2% of steps (train_timestamps.py:770)
     remat: bool = True
     compute_dtype: Any = jnp.bfloat16
+    # bf16 first moment halves optimizer HBM (769M-param medium.en: 3.1GB
+    # saved), standard practice; fp32 default = exact reference parity
+    mu_dtype: Any = None
 
     @property
     def warmup_steps(self) -> int:
@@ -85,6 +88,7 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
             b2=config.beta2,
             eps=config.eps,
             weight_decay=config.weight_decay,
+            mu_dtype=config.mu_dtype,
         ),
     )
 
