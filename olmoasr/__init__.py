@@ -11,6 +11,10 @@ from olmoasr_tpu.api import OLMoASR, load_model
 from olmoasr_tpu.models.dims import VARIANT_TO_DIMS, ModelDimensions
 from olmoasr_tpu.transcribe import transcribe
 
+# module-form imports, matching the reference package surface
+# (reference __init__.py:10-20: model, inf_model, preprocess, utils)
+from olmoasr import inf_model, model, preprocess, utils  # noqa: E402,F401
+
 __all__ = [
     "MODEL2LINK",
     "ModelDimensions",
