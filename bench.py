@@ -200,7 +200,14 @@ def main():
 
     variant = os.environ.get("OLMOASR_BENCH_VARIANT", "small.en")
     batch = int(os.environ.get("OLMOASR_BENCH_BATCH", "128"))
-    sample_len = int(os.environ.get("OLMOASR_BENCH_SAMPLE_LEN", "224"))
+    sample_len = int(os.environ.get("OLMOASR_BENCH_SAMPLEN", "0")) or int(
+        os.environ.get("OLMOASR_BENCH_SAMPLE_LEN", "224")
+    )
+    # worst-case benchmark (every sequence runs all 224 steps): halve the
+    # early-exit host syncs (7 -> 2 per decode; each costs a tunnel RTT).
+    # Real-weights serving keeps the default chunk=32, where windows finish
+    # in 40-100 steps and the early exit pays for the extra syncs.
+    os.environ.setdefault("OLMOASR_DECODE_CHUNK", "112")
     iters = int(os.environ.get("OLMOASR_BENCH_ITERS", "5"))
     kv_quant = os.environ.get("OLMOASR_BENCH_KV_QUANT", "1") == "1"
 
