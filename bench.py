@@ -136,6 +136,7 @@ def bench_longform():
     from olmoasr_tpu.transcribe import transcribe_many
 
     variant = os.environ.get("OLMOASR_BENCH_VARIANT", "small.en")
+    os.environ.setdefault("OLMOASR_DECODE_CHUNK", "112")  # see main()
     n_files = int(os.environ.get("OLMOASR_BENCH_FILES", "32"))
     file_seconds = float(os.environ.get("OLMOASR_BENCH_FILE_SECONDS", "120"))
     batch = int(os.environ.get("OLMOASR_BENCH_BATCH", "32"))
