@@ -1,0 +1,7 @@
+#!/bin/bash
+cd /root/repo
+echo "=== fast_softmax=1 B=128 ==="
+OLMOASR_FAST_SOFTMAX=1 python bench.py 2>&1 | grep -E "metric|rror" | tail -2
+echo "=== longform bench (B=16 files) ==="
+OLMOASR_BENCH_MODE=longform python bench.py 2>&1 | grep -E "metric|rror" | tail -2
+echo DONE
