@@ -669,6 +669,7 @@ def _cross_block_kernel(
     n_head: int,
     v_interleaved: bool = False,
     fast_softmax: bool = False,
+    wv_mode: str = "expand",
 ):
     _, _, T, D = k_ref.shape
     dh = D // n_head
@@ -713,15 +714,40 @@ def _cross_block_kernel(
         w = jax.nn.softmax(logits, axis=0)  # (T, H) fp32
         w = w * vs_ref[0, 0, 0, :][:, None]  # fold per-key v scale
 
-    if v_interleaved:
-        # v columns are head-interleaved (col p = head p%H): the per-head
-        # weight expansion is a pure lane tile — no 128-lane-padded MXU dot
-        w_full = pltpu.repeat(w.astype(dd), dh, axis=1)  # (T, D)
+    if wv_mode in ("dot", "dot8"):
+        # one transposed contraction out2[h, d] = sum_t w[t, h] * v[t, d]
+        # instead of expand-matmul + elementwise product + ones-reduction;
+        # the per-head output row is then lane-selected by the head mask.
+        # 'dot8' additionally quantizes the (non-negative) weights per head
+        # and contracts int8 x int8 on the MXU (2x rate, no v dequant pass).
+        if wv_mode == "dot8" and v_ref.dtype == jnp.int8:
+            umax = jnp.max(w, axis=0, keepdims=True)  # (1, H); w >= 0
+            uscale = jnp.maximum(umax, 1e-20) / 127.0
+            u8 = jnp.clip(jnp.round(w / uscale), 0, 127).astype(jnp.int8)
+            out2 = jax.lax.dot_general(
+                u8, v_ref[0, 0, :, :],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * uscale.T  # (H, D)
+        else:
+            out2 = jax.lax.dot_general(
+                w.astype(dd), v_ref[0, 0, :, :].astype(dd),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (H, D)
+        hsel = (h_ids.T == d_ids.T // dh).astype(jnp.float32)  # (H, D)
+        attn = jnp.sum(out2 * hsel, axis=0, keepdims=True)  # (1, D)
     else:
-        w_full = _expand_heads(w, n_head, dh, dd)  # (T, D)
-    prod = w_full * v_ref[0, 0, :, :].astype(dd)
-    ones = jnp.ones((1, T), dd)
-    attn = jnp.dot(ones, prod, preferred_element_type=jnp.float32)  # (1, D)
+        if v_interleaved:
+            # v columns are head-interleaved (col p = head p%H): the per-head
+            # weight expansion is a pure lane tile (measured slower — Mosaic
+            # lowers the repeat as a relayout; kept for reference)
+            w_full = pltpu.repeat(w.astype(dd), dh, axis=1)  # (T, D)
+        else:
+            w_full = _expand_heads(w, n_head, dh, dd)  # (T, D)
+        prod = w_full * v_ref[0, 0, :, :].astype(dd)
+        ones = jnp.ones((1, T), dd)
+        attn = jnp.dot(ones, prod, preferred_element_type=jnp.float32)  # (1, D)
 
     out = jnp.dot(
         attn.astype(dd), wo_ref[0, :, :].astype(dd),
@@ -732,7 +758,9 @@ def _cross_block_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_head", "interpret", "v_interleaved", "fast_softmax"),
+    static_argnames=(
+        "n_head", "interpret", "v_interleaved", "fast_softmax", "wv_mode",
+    ),
 )
 def cross_block_decode(
     x: jax.Array,  # (B, 1, D) residual stream (post self-attention)
@@ -752,6 +780,7 @@ def cross_block_decode(
     interpret: bool = False,
     v_interleaved: bool = False,
     fast_softmax: bool = False,
+    wv_mode: str = "expand",
 ) -> jax.Array:
     """Whole decode-step cross-attention sub-block in ONE kernel per layer:
     fp32 LN + q projection + int8 (or bf16) cross attention + output
@@ -799,7 +828,7 @@ def cross_block_decode(
     out = pl.pallas_call(
         functools.partial(
             _cross_block_kernel, n_head=n_head, v_interleaved=v_interleaved,
-            fast_softmax=fast_softmax,
+            fast_softmax=fast_softmax, wv_mode=wv_mode,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 1, D), x.dtype),

@@ -201,3 +201,31 @@ def test_cross_block_fast_softmax_accuracy():
     )
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max()
     assert err < 0.06, err
+
+
+@pytest.mark.parametrize("mode,tol", [("dot", 3e-5), ("dot8", 0.08)])
+def test_cross_block_wv_modes(mode, tol):
+    """Transposed-contraction value paths == the expand path (dot exact-ish,
+    dot8 within int8-weight quantization noise)."""
+    from olmoasr_tpu.ops.attention import cross_block_decode
+
+    B, T, D, H, L = 2, 96, 64, 4, 2
+    ks = jax.random.split(jax.random.PRNGKey(5), 12)
+    mk = lambda i, *shape: jax.random.normal(ks[i], shape) * 0.1
+    x = mk(0, B, 1, D)
+    ln_g, ln_b = jnp.ones((L, D)), jnp.zeros((L, D))
+    wq, bq = mk(3, L, D, D), mk(4, L, D)
+    wo, bo = mk(5, L, D, D), mk(6, L, D)
+    ckq, cks = _quantize_rows(jax.random.normal(ks[7], (L, B, T, D)))
+    cvq, cvs = _quantize_rows(jax.random.normal(ks[8], (L, B, T, D)))
+    if mode == "dot8":
+        # int8 path engages on the bf16 production dtype
+        x = x.astype(jnp.bfloat16)
+        ln_g, ln_b = ln_g.astype(jnp.bfloat16), ln_b.astype(jnp.bfloat16)
+        wq, bq = wq.astype(jnp.bfloat16), bq.astype(jnp.bfloat16)
+        wo, bo = wo.astype(jnp.bfloat16), bo.astype(jnp.bfloat16)
+    args = (x, ln_g, ln_b, wq, bq, wo, bo, ckq, cvq, cks, cvs, jnp.int32(0))
+    ref = cross_block_decode(*args, n_head=H, interpret=True)
+    out = cross_block_decode(*args, n_head=H, interpret=True, wv_mode=mode)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max()
+    assert err < tol, err
