@@ -229,25 +229,39 @@ def _find_rank_file(name: str = "gpt2") -> Optional[str]:
 
 @functools.lru_cache(maxsize=4)
 def get_encoding(name: str = "gpt2") -> BytePairEncoder:
-    """Build the encoding: real BPE ranks when a rank file is present, else fallback."""
+    """Build the encoding: real BPE ranks when a rank file is present, else
+    fallback.
+
+    Special-token LAYOUT is set by ``name`` ([pip:whisper] tokenizer
+    encodings): the English "gpt2" ranks INCLUDE <|endoftext|> as rank 50256
+    (specials append from 50257 -> n_vocab 51864), while "multilingual" ranks
+    do not (eot appended at 50257, sot 50258, timestamps from 50364 ->
+    n_vocab 51865).
+    """
     path = _find_rank_file(name)
+    eot_in_base = name == "gpt2"
     specials_list = _special_token_strings()
     if path is not None:
         ranks = load_tiktoken_ranks(path)
         n = len(ranks)
         specials: Dict[str, int] = {}
         for s in specials_list:
-            if s == "<|endoftext|>" and n == GPT2_BASE_VOCAB:
+            if s == "<|endoftext|>" and eot_in_base and n == GPT2_BASE_VOCAB:
                 specials[s] = GPT2_BASE_VOCAB - 1  # already in the base vocab
             else:
                 specials[s] = n
                 n += 1
         # <|endoftext|> inside ranks shadows the special id; fix decode side
         return BytePairEncoder(ranks, specials)
-    # offline fallback
-    specials = {"<|endoftext|>": GPT2_BASE_VOCAB - 1}
+    # offline fallback (byte-level ids, exact special layout)
+    specials = {}
     n = GPT2_BASE_VOCAB
-    for s in specials_list[1:]:
+    if eot_in_base:
+        specials["<|endoftext|>"] = GPT2_BASE_VOCAB - 1
+        rest = specials_list[1:]
+    else:
+        rest = specials_list
+    for s in rest:
         specials[s] = n
         n += 1
     return ByteFallbackEncoder(specials)

@@ -85,3 +85,18 @@ def test_split_tokens_on_spaces():
     words, word_tokens = t.split_tokens_on_spaces(list(ids))
     assert words == [" hello", " world", " again"]
     assert sum(word_tokens, []) == list(ids)
+
+
+def test_multilingual_special_layout():
+    """Whisper multilingual ids: eot 50257, sot 50258, langs from 50259,
+    transcribe 50359, timestamps from 50364, n_vocab 51865."""
+    from olmoasr_tpu.tokenizer import get_tokenizer
+
+    t = get_tokenizer(True, language="en", task="transcribe")
+    assert t.eot == 50257
+    assert t.sot == 50258
+    assert t.language_token == 50259  # <|en|>
+    assert t.transcribe == 50360 - 1  # <|transcribe|> = 50359
+    assert t.timestamp_begin == 50364
+    assert t.encoding.n_vocab == 51865
+    assert t.sot_sequence == (50258, 50259, 50359)
