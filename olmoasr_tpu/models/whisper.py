@@ -673,7 +673,7 @@ def decode_step(
                 cache.cross_k, cross_v_eff, cross_ks, cross_vs, li,
                 n_head=dims.n_text_head, v_interleaved=use_interleaved_v,
                 fast_softmax=os.environ.get("OLMOASR_FAST_SOFTMAX", "0") == "1",
-                wv_mode=os.environ.get("OLMOASR_WV_MODE", "expand"),
+                wv_mode=os.environ.get("OLMOASR_WV_MODE", "dot"),
             )
         elif use_pallas_cross:
             from olmoasr_tpu.ops.attention import cross_attend_decode
