@@ -255,8 +255,15 @@ def encode_audio(
     *,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    flash: Optional[bool] = None,
 ) -> jax.Array:
-    """AudioEncoder forward (model.py:531-624): conv stem -> +sinusoids -> blocks -> LN."""
+    """AudioEncoder forward (model.py:531-624): conv stem -> +sinusoids -> blocks -> LN.
+
+    ``flash``: force the Pallas flash-attention kernel on (True) / off (False);
+    None = batch heuristic (inference-tuned). Training passes True on TPU —
+    the kernel's custom VJP never materializes the (B, H, 1500, 1500) scores,
+    which is what capped micro_batch_size at 8 under remat.
+    """
     enc = params["encoder"]
     x = mel.astype(compute_dtype)
 
@@ -284,9 +291,11 @@ def encode_audio(
     # perf/r2_ab6.log) — the bigger grid amortizes its block overheads.
     # OLMOASR_FLASH=1/0 overrides the batch heuristic either way.
     flash_env = os.environ.get("OLMOASR_FLASH", "")
-    use_flash = jax.default_backend() == "tpu" and (
-        flash_env == "1" or (flash_env != "0" and mel.shape[0] >= 64)
-    )
+    if flash is None:
+        use_flash = flash_env == "1" or (flash_env != "0" and mel.shape[0] >= 64)
+    else:
+        use_flash = flash
+    use_flash = use_flash and jax.default_backend() == "tpu"
 
     def attn_fn(q, k, v):
         if use_flash:
@@ -325,15 +334,30 @@ def decode_train(
     padding_mask: Optional[jax.Array] = None,  # additive (B, T, T) or (B,1,T,T)
     *,
     remat: bool = False,
+    flash: Optional[bool] = None,
 ) -> jax.Array:
     """TextDecoder training forward (model.py:626-776): causal (+padding) mask,
-    full-sequence attention, logits through tied embedding in fp32."""
+    full-sequence attention, logits through tied embedding in fp32.
+
+    ``flash=True`` (TPU only) runs self- and cross-attention through the
+    Pallas flash kernel: causal handled natively, the additive padding-column
+    mask re-expressed as segment ids (valid tokens id 0, pads id 1 — exactly
+    the reference's -inf pad columns, model.py:684-686), so the (B, H, T, T)
+    and (B, H, T, 1500) score tensors never hit HBM.
+    """
     dec = params["decoder"]
     T = tokens.shape[1]
     dtype = audio_features.dtype
+    n_head = dims.n_text_head
 
     x = dec["token_embedding"][tokens].astype(dtype)
     x = x + dec["positional_embedding"][:T].astype(dtype)
+
+    use_flash = (
+        bool(flash)
+        and jax.default_backend() == "tpu"
+        and os.environ.get("OLMOASR_TRAIN_FLASH_DEC", "1") == "1"
+    )
 
     causal = jnp.triu(jnp.full((T, T), -jnp.inf, dtype=jnp.float32), k=1)
     if padding_mask is not None:
@@ -343,12 +367,44 @@ def decode_train(
     else:
         mask = causal[None, None]
 
+    if use_flash:
+        from olmoasr_tpu.ops.flash import flash_mha
+
+        # per-sample key validity from the additive mask's suffix-pad columns
+        # (dataset.py:250-251: mask[:, n:] = -inf, identical for every row)
+        if padding_mask is not None:
+            ids = (padding_mask[:, 0, 0, :] != 0).astype(jnp.int32)  # (B,T)
+        else:
+            ids = jnp.zeros(tokens.shape, jnp.int32)
+
+        def self_attn(q, k, v):
+            return flash_mha(q, k, v, n_head, causal=True, q_ids=ids, kv_ids=ids)
+
+        def cross_attn(q, ck, cv):
+            # no mask in reference cross-attention: every text position
+            # attends the full 1500 audio positions
+            return flash_mha(q, ck, cv, n_head)
+
     # cross k/v are per-layer projections of the same audio features; computing
     # them inside the scan keeps memory low and lets XLA overlap with attention.
     def block_fn(x, lp):
         ck = _linear(audio_features, lp["cross_k_w"])
         cv = _linear(audio_features, lp["cross_v_w"], lp["cross_v_b"])
-        return _block_apply(lp, x, dims.n_text_head, mask, xa_kv=(ck, cv)), None
+        if not use_flash:
+            return _block_apply(lp, x, n_head, mask, xa_kv=(ck, cv)), None
+        h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
+        q = _linear(h, lp["attn_q_w"], lp["attn_q_b"])
+        k = _linear(h, lp["attn_k_w"])
+        v = _linear(h, lp["attn_v_w"], lp["attn_v_b"])
+        x = x + _linear(self_attn(q, k, v), lp["attn_o_w"], lp["attn_o_b"])
+        h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
+        q = _linear(h, lp["cross_q_w"], lp["cross_q_b"])
+        x = x + _linear(cross_attn(q, ck, cv), lp["cross_o_w"], lp["cross_o_b"])
+        h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
+        h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
+        return x, None
 
     f = _remat(block_fn, remat)
     x, _ = jax.lax.scan(f, x, dec["blocks"])
@@ -366,11 +422,16 @@ def forward_train(
     *,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    flash: Optional[bool] = None,
 ) -> jax.Array:
     """Full training forward: mel -> encoder -> decoder -> logits
     (OLMoASR.forward, model.py:778-923)."""
-    audio = encode_audio(params, dims, mel, compute_dtype=compute_dtype, remat=remat)
-    return decode_train(params, dims, tokens, audio, padding_mask, remat=remat)
+    audio = encode_audio(
+        params, dims, mel, compute_dtype=compute_dtype, remat=remat, flash=flash
+    )
+    return decode_train(
+        params, dims, tokens, audio, padding_mask, remat=remat, flash=flash
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -4,13 +4,18 @@ Wraps the Pallas TPU flash-attention kernel (jax.experimental.pallas.ops.tpu)
 with whisper's conventions: d_head**-0.5 total scaling, non-causal encoder
 self-attention over 1500 positions (padded to a 128-multiple with segment-id
 masking so padding never attends/attracts), optional causal mode for decoder
-training. Replaces the O(T^2) materialized-logits attention the reference gets
-from torch SDPA (olmoasr/model.py:330-340) on the encoder's hot path.
+training, and cross-attention (448 text queries over 1500 audio keys).
+Replaces the O(T^2) materialized-logits attention the reference gets from
+torch SDPA (olmoasr/model.py:330-340): per encoder layer the XLA path writes
+and re-reads a (B, H, 1500, 1500) f32 score tensor (~1.2GB at B=8 medium.en)
+— flash streams it in VMEM tiles instead, in forward AND backward (the kernel
+carries a custom VJP).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -26,6 +31,88 @@ def _pad_to(x: jax.Array, target: int, axis: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
+def _round128(t: int) -> int:
+    return ((t + 127) // 128) * 128
+
+
+def flash_mha(
+    q: jax.Array,  # (B, Tq, D)
+    k: jax.Array,  # (B, Tk, D)
+    v: jax.Array,  # (B, Tk, D)
+    n_head: int,
+    *,
+    causal: bool = False,
+    q_ids: Optional[jax.Array] = None,  # (B, Tq) int32 segment ids
+    kv_ids: Optional[jax.Array] = None,  # (B, Tk)
+    block: Optional[int] = None,
+) -> jax.Array:
+    """Multi-head attention via the Pallas TPU flash kernel, differentiable.
+
+    Handles non-128-multiple sequence lengths (whisper: Tq=448 text, Tk=1500
+    audio) by zero-padding to 128 multiples; the pad region gets a reserved
+    segment id so no valid query ever attends a padded key. Per-sample
+    masking (token padding) is expressed through ``q_ids``/``kv_ids``:
+    attention flows only where ids match (the reference's additive -inf
+    padding-column mask, model.py:684-686, is the ids∈{0,1} special case).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, Tq, D = q.shape
+    Tk = k.shape[1]
+    dh = D // n_head
+    Tq_pad, Tk_pad = _round128(Tq), _round128(Tk)
+
+    def heads(x, t_pad):
+        x = _pad_to(x, t_pad, axis=1)
+        return x.reshape(B, t_pad, n_head, dh).transpose(0, 2, 1, 3)  # (B,H,T,dh)
+
+    qh, kh, vh = heads(q, Tq_pad), heads(k, Tk_pad), heads(v, Tk_pad)
+
+    need_seg = (
+        q_ids is not None or kv_ids is not None or Tq_pad != Tq or Tk_pad != Tk
+    )
+    seg = None
+    if need_seg:
+        PAD_ID = jnp.int32(2**30)  # reserved: pad keys match no valid query
+        if q_ids is None:
+            q_ids = jnp.zeros((B, Tq), jnp.int32)
+        if kv_ids is None:
+            kv_ids = jnp.zeros((B, Tk), jnp.int32)
+        # pad queries get PAD_ID too: with causal self-attention a pad row
+        # still matches the pad keys at/before it (never fully masked -> no
+        # NaN); its output is sliced off below either way
+        q_full = jnp.full((B, Tq_pad), PAD_ID, jnp.int32).at[:, :Tq].set(q_ids)
+        kv_full = jnp.full((B, Tk_pad), PAD_ID, jnp.int32).at[:, :Tk].set(kv_ids)
+        seg = SegmentIds(q=q_full, kv=kv_full)
+
+    # Forward blocks: 512 measured best for the encoder shape at inference
+    # batches; backward defaults to 128 (OLMOASR_FLASH_BWD_BLOCK to retune).
+    # Backward blocks are always set so the same call is differentiable —
+    # the bwd kernels only materialize under jax.grad.
+    blk_q = min(block or 512, Tq_pad)
+    blk_k = min(block or 512, Tk_pad)
+    bwd = int(os.environ.get("OLMOASR_FLASH_BWD_BLOCK", "128"))
+    bwd_q, bwd_k = min(bwd, Tq_pad), min(bwd, Tk_pad)
+    out = flash_attention(
+        qh, kh, vh,
+        segment_ids=seg,
+        causal=causal,
+        sm_scale=dh ** -0.5,
+        block_sizes=BlockSizes(
+            block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1,
+            block_q_major_dkv=bwd_q, block_k_major_dkv=bwd_k,
+            block_k_dkv=bwd_k, block_q_dkv=bwd_q,
+            block_k_major_dq=bwd_q, block_k_dq=bwd_k, block_q_dq=bwd_q,
+        ),
+    )  # (B, H, Tq_pad, dh)
+    out = out.transpose(0, 2, 1, 3).reshape(B, Tq_pad, D)
+    return out[:, :Tq, :]
+
+
 def flash_self_attention(
     q: jax.Array,  # (B, T, D)
     k: jax.Array,
@@ -33,45 +120,12 @@ def flash_self_attention(
     n_head: int,
     *,
     causal: bool = False,
+    block: Optional[int] = None,
 ) -> jax.Array:
-    """Multi-head self attention via the Pallas flash kernel.
+    """Self attention via the flash kernel (encoder hot path).
 
-    Handles non-128-multiple T (whisper encoder T=1500) by zero-padding and
-    masking the pad region with segment ids.
+    NOTE: measured SLOWER than XLA's fused attention on v5e for the whisper
+    encoder shape at B=32 inference (kept batch-gated there), but it is the
+    training default — see perf/r2_train_flash.log.
     """
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        SegmentIds,
-        flash_attention,
-    )
-
-    B, T, D = q.shape
-    dh = D // n_head
-    T_pad = ((T + 127) // 128) * 128
-
-    def heads(x):
-        x = _pad_to(x, T_pad, axis=1)
-        return x.reshape(B, T_pad, n_head, dh).transpose(0, 2, 1, 3)  # (B,H,T,dh)
-
-    qh, kh, vh = heads(q), heads(k), heads(v)
-    seg = None
-    if T_pad != T:
-        ids = (jnp.arange(T_pad) < T).astype(jnp.int32)[None, :].repeat(B, 0)
-        seg = SegmentIds(q=ids, kv=ids)
-
-    # NOTE: measured SLOWER than XLA's fused attention on v5e for the whisper
-    # encoder shape (B=32, T=1536, H=12, dh=64) with both default and 512
-    # blocks — kept opt-in (OLMOASR_FLASH=1) pending further block tuning.
-    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
-
-    block = min(512, T_pad)
-    out = flash_attention(
-        qh, kh, vh,
-        segment_ids=seg,
-        causal=causal,
-        sm_scale=dh ** -0.5,
-        block_sizes=BlockSizes(
-            block_q=block, block_k_major=block, block_k=block, block_b=1
-        ),
-    )  # (B, H, T_pad, dh)
-    out = out.transpose(0, 2, 1, 3).reshape(B, T_pad, D)
-    return out[:, :T, :]
+    return flash_mha(q, k, v, n_head, causal=causal, block=block)

@@ -52,6 +52,19 @@ class TrainConfig:
     # bf16 first moment halves optimizer HBM (769M-param medium.en: 3.1GB
     # saved), standard practice; fp32 default = exact reference parity
     mu_dtype: Any = None
+    # flash (Pallas fwd+bwd) attention in training: avoids materializing the
+    # encoder's (B, H, 1500, 1500) score tensors in fwd AND bwd — but MEASURED
+    # SLOWER than XLA's attention at training shapes on v5e (B=8 medium.en:
+    # 3218 vs 4293 tok/s, perf/r2_train_flash.log), so default OFF; env
+    # OLMOASR_TRAIN_FLASH=1 enables for re-tuning.
+    encoder_flash: Optional[bool] = None
+
+    def resolved_flash(self) -> Optional[bool]:
+        if self.encoder_flash is not None:
+            return self.encoder_flash
+        import os
+
+        return os.environ.get("OLMOASR_TRAIN_FLASH", "0") == "1"
 
     @property
     def warmup_steps(self) -> int:
@@ -103,17 +116,21 @@ def loss_fn(
     *,
     compute_dtype=jnp.bfloat16,
     remat: bool = True,
+    flash: Optional[bool] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Teacher-forced cross entropy with ignore_index=51864
     (train_timestamps.py:1444-1450)."""
     logits = model_mod.forward_train(
         params, dims, mel, text_input, padding_mask,
-        compute_dtype=compute_dtype, remat=remat,
+        compute_dtype=compute_dtype, remat=remat, flash=flash,
     )  # (B, T, V) fp32
     valid = text_target != PADDING_TOKEN
     safe_target = jnp.where(valid, text_target, 0)
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logprobs, safe_target[..., None], axis=-1)[..., 0]
+    # logsumexp-form CE: identical to -log_softmax[target] but never
+    # materializes the (B, T, V) fp32 logprob tensor (744MB at micro_bs=8)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    tgt_logit = jnp.take_along_axis(logits, safe_target[..., None], axis=-1)[..., 0]
+    nll = lse - tgt_logit
     n_valid = jnp.maximum(jnp.sum(valid), 1)
     loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n_valid
     # in-loop teacher-forced accuracy (cheap train-WER proxy;
@@ -141,6 +158,7 @@ def make_train_step(
             params, dims, batch["mel"], batch["text_input"], batch["text_target"],
             batch.get("padding_mask"),
             compute_dtype=config.compute_dtype, remat=config.remat,
+            flash=config.resolved_flash(),
         )
         return loss, aux, grads
 

@@ -184,3 +184,44 @@ def test_zero2_shard_grad_op_step():
     }
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_flash_config_threading(monkeypatch):
+    """resolved_flash: explicit field wins; else env OLMOASR_TRAIN_FLASH
+    (default off — measured slower than XLA attention at training shapes on
+    v5e, perf/r2_train_flash.log). On CPU the model gates flash off either
+    way; this pins the config contract."""
+    cfg = train_mod.TrainConfig()
+    monkeypatch.delenv("OLMOASR_TRAIN_FLASH", raising=False)
+    assert cfg.resolved_flash() is False
+    monkeypatch.setenv("OLMOASR_TRAIN_FLASH", "1")
+    assert cfg.resolved_flash() is True
+    assert train_mod.TrainConfig(encoder_flash=False).resolved_flash() is False
+    monkeypatch.setenv("OLMOASR_TRAIN_FLASH", "0")
+    assert train_mod.TrainConfig(encoder_flash=True).resolved_flash() is True
+
+
+def test_loss_logsumexp_matches_log_softmax():
+    """The logsumexp-form CE must equal -log_softmax[target] exactly."""
+    rng = np.random.default_rng(1)
+    params = train_mod.init_train_state(
+        jax.random.PRNGKey(0), TINY,
+        train_mod.TrainConfig(train_steps=10, micro_batch_size=2),
+        train_mod.make_optimizer(train_mod.TrainConfig(train_steps=10)),
+    ).params
+    mel = jnp.asarray(rng.standard_normal((2, TINY.n_mels, TINY.n_audio_ctx * 2)), jnp.float32)
+    ti = jnp.asarray(rng.integers(0, TINY.n_vocab, (2, TINY.n_text_ctx)), jnp.int32)
+    tt_np = rng.integers(0, TINY.n_vocab, (2, TINY.n_text_ctx))
+    tt_np[0, 10:] = PADDING_TOKEN
+    tt = jnp.asarray(tt_np, jnp.int32)
+    loss, _ = train_mod.loss_fn(
+        params, TINY, mel, ti, tt, None, compute_dtype=jnp.float32, remat=False
+    )
+    from olmoasr_tpu.models import whisper as m
+
+    logits = m.forward_train(params, TINY, mel, ti, None, compute_dtype=jnp.float32)
+    lp = jax.nn.log_softmax(logits, -1)
+    valid = tt != PADDING_TOKEN
+    nll = -jnp.take_along_axis(lp, jnp.where(valid, tt, 0)[..., None], -1)[..., 0]
+    ref = jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(valid.sum(), 1)
+    assert abs(float(loss) - float(ref)) < 1e-5
