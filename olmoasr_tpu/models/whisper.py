@@ -204,13 +204,18 @@ def _block_apply(
         v = _linear(h, lp["attn_v_w"], lp["attn_v_b"])
     else:
         k, v = self_kv
-    x = x + _linear(sdpa(q, k, v, n_head, mask), lp["attn_o_w"], lp["attn_o_b"])
+    x = x + _linear(
+        _tag_attn(sdpa(q, k, v, n_head, mask)), lp["attn_o_w"], lp["attn_o_b"]
+    )
 
     if xa_kv is not None:
         h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
         q = _linear(h, lp["cross_q_w"], lp["cross_q_b"])
         ck, cv = xa_kv
-        x = x + _linear(sdpa(q, ck, cv, n_head, None), lp["cross_o_w"], lp["cross_o_b"])
+        x = x + _linear(
+            _tag_attn(sdpa(q, ck, cv, n_head, None)),
+            lp["cross_o_w"], lp["cross_o_b"],
+        )
 
     h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
     h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
@@ -234,18 +239,33 @@ def _enc_pos_embedding(n_ctx: int, n_state: int) -> np.ndarray:
 def _remat(fn, remat: bool):
     """Per-block rematerialization with a tunable policy.
 
-    OLMOASR_REMAT_POLICY= full (default: recompute everything, min memory) |
-    dots (save matmul outputs, recompute only elementwise — trades HBM for
-    ~25%% less recompute FLOPs) | none.
+    OLMOASR_REMAT_POLICY= attn (default: save the per-block attention
+    outputs — tagged ``attn_out`` below — so the remat recompute skips
+    re-running attention, the costliest and most HBM-heavy part of the block
+    forward; costs (B, T, D) per layer; measured 4882 vs 4810 tok/s on
+    medium.en, perf/r2_train_flash5.log) | full (recompute everything, min
+    memory) | dots (save matmul outputs — measured OOM on medium.en) | none.
     """
     if not remat:
         return fn
-    policy_name = os.environ.get("OLMOASR_REMAT_POLICY", "full")
+    policy_name = os.environ.get("OLMOASR_REMAT_POLICY", "attn")
     if policy_name == "dots":
         return jax.checkpoint(
             fn, policy=jax.checkpoint_policies.dots_saveable
         )
+    if policy_name == "attn":
+        return jax.checkpoint(
+            fn,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+        )
     return jax.checkpoint(fn)
+
+
+def _tag_attn(x: jax.Array) -> jax.Array:
+    """Name attention outputs for the selective ``attn`` remat policy."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, "attn_out")
 
 
 def encode_audio(
@@ -309,7 +329,7 @@ def encode_audio(
         q = _linear(h, lp["attn_q_w"], lp["attn_q_b"])
         k = _linear(h, lp["attn_k_w"])
         v = _linear(h, lp["attn_v_w"], lp["attn_v_b"])
-        x = x + _linear(attn_fn(q, k, v), lp["attn_o_w"], lp["attn_o_b"])
+        x = x + _linear(_tag_attn(attn_fn(q, k, v)), lp["attn_o_w"], lp["attn_o_b"])
         h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
         h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
         h = jax.nn.gelu(h, approximate=False)
@@ -353,10 +373,13 @@ def decode_train(
     x = dec["token_embedding"][tokens].astype(dtype)
     x = x + dec["positional_embedding"][:T].astype(dtype)
 
+    # decoder flash measured SLOWER on v5e (perf/r2_train_flash3.log: enc+dec
+    # 867ms at bwd_block=256 vs enc-only 710) — the 448-query/1536-key shapes
+    # are too small to amortize the kernel; default off, env-gated for retune.
     use_flash = (
         bool(flash)
         and jax.default_backend() == "tpu"
-        and os.environ.get("OLMOASR_TRAIN_FLASH_DEC", "1") == "1"
+        and os.environ.get("OLMOASR_TRAIN_FLASH_DEC", "0") == "1"
     )
 
     causal = jnp.triu(jnp.full((T, T), -jnp.inf, dtype=jnp.float32), k=1)
@@ -396,10 +419,14 @@ def decode_train(
         q = _linear(h, lp["attn_q_w"], lp["attn_q_b"])
         k = _linear(h, lp["attn_k_w"])
         v = _linear(h, lp["attn_v_w"], lp["attn_v_b"])
-        x = x + _linear(self_attn(q, k, v), lp["attn_o_w"], lp["attn_o_b"])
+        x = x + _linear(
+            _tag_attn(self_attn(q, k, v)), lp["attn_o_w"], lp["attn_o_b"]
+        )
         h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
         q = _linear(h, lp["cross_q_w"], lp["cross_q_b"])
-        x = x + _linear(cross_attn(q, ck, cv), lp["cross_o_w"], lp["cross_o_b"])
+        x = x + _linear(
+            _tag_attn(cross_attn(q, ck, cv)), lp["cross_o_w"], lp["cross_o_b"]
+        )
         h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
         h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
         h = jax.nn.gelu(h, approximate=False)

@@ -95,7 +95,9 @@ def flash_mha(
     # the bwd kernels only materialize under jax.grad.
     blk_q = min(block or 512, Tq_pad)
     blk_k = min(block or 512, Tk_pad)
-    bwd = int(os.environ.get("OLMOASR_FLASH_BWD_BLOCK", "128"))
+    # bwd blocks measured on v5e (medium.en B=8 fwd+bwd, perf/r2_train_flash3.log):
+    # 128 -> 1081ms, 512 -> 710ms (XLA attention: 756ms) — default 512
+    bwd = int(os.environ.get("OLMOASR_FLASH_BWD_BLOCK", "512"))
     bwd_q, bwd_k = min(bwd, Tq_pad), min(bwd, Tk_pad)
     out = flash_attention(
         qh, kh, vh,

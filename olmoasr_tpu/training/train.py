@@ -53,10 +53,11 @@ class TrainConfig:
     # saved), standard practice; fp32 default = exact reference parity
     mu_dtype: Any = None
     # flash (Pallas fwd+bwd) attention in training: avoids materializing the
-    # encoder's (B, H, 1500, 1500) score tensors in fwd AND bwd — but MEASURED
-    # SLOWER than XLA's attention at training shapes on v5e (B=8 medium.en:
-    # 3218 vs 4293 tok/s, perf/r2_train_flash.log), so default OFF; env
-    # OLMOASR_TRAIN_FLASH=1 enables for re-tuning.
+    # encoder's (B, H, 1500, 1500) score tensors in fwd AND bwd. Measured on
+    # v5e (medium.en B=8, perf/r2_train_flash3.log): encoder flash with
+    # bwd_block=512 710ms/microstep vs XLA 756ms -> default ON. Decoder flash
+    # measured SLOWER (867-1257ms; small 448-query shapes) -> gated off by
+    # default via OLMOASR_TRAIN_FLASH_DEC=0.
     encoder_flash: Optional[bool] = None
 
     def resolved_flash(self) -> Optional[bool]:
@@ -64,7 +65,7 @@ class TrainConfig:
             return self.encoder_flash
         import os
 
-        return os.environ.get("OLMOASR_TRAIN_FLASH", "0") == "1"
+        return os.environ.get("OLMOASR_TRAIN_FLASH", "1") == "1"
 
     @property
     def warmup_steps(self) -> int:
@@ -144,6 +145,7 @@ def make_train_step(
     dims: ModelDimensions,
     config: TrainConfig,
     optimizer: optax.GradientTransformation,
+    flash: Optional[bool] = None,
 ):
     """Build the jitted train step.
 
@@ -158,7 +160,7 @@ def make_train_step(
             params, dims, batch["mel"], batch["text_input"], batch["text_target"],
             batch.get("padding_mask"),
             compute_dtype=config.compute_dtype, remat=config.remat,
-            flash=config.resolved_flash(),
+            flash=config.resolved_flash() if flash is None else flash,
         )
         return loss, aux, grads
 
@@ -268,7 +270,18 @@ def make_sharded_train_step(
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    step_fn = make_train_step(dims, config, optimizer)
+    # The Pallas flash kernel defines no SPMD partitioning rule: under a
+    # multi-device mesh XLA would conservatively REPLICATE its operands
+    # (all-gathering the full batch onto every chip). Until a shard_map
+    # wrapper is added and validated on real multi-chip hardware, gate flash
+    # off when the mesh has >1 device (OLMOASR_TRAIN_FLASH_MULTICHIP=1
+    # overrides for experimentation).
+    import os as _os
+
+    flash = config.resolved_flash()
+    if mesh.size > 1 and _os.environ.get("OLMOASR_TRAIN_FLASH_MULTICHIP") != "1":
+        flash = False
+    step_fn = make_train_step(dims, config, optimizer, flash=flash)
     batch_spec = NamedSharding(
         mesh, P(None, (mesh_mod.DATA_AXIS, mesh_mod.FSDP_AXIS))
     )

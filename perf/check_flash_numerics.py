@@ -43,8 +43,9 @@ def loss(params, flash):
 f_ref = jax.jit(lambda p: loss(p, False))
 f_flash = jax.jit(lambda p: loss(p, True))
 l0, l1 = float(f_ref(params)), float(f_flash(params))
-print(f"fwd: xla={l0:.6f} flash={l1:.6f} diff={abs(l0 - l1):.2e}")
-assert abs(l0 - l1) < 2e-3, "forward mismatch"
+rel = abs(l0 - l1) / max(abs(l0), 1e-6)
+print(f"fwd: xla={l0:.6f} flash={l1:.6f} rel={rel:.2e}")
+assert rel < 1e-3, "forward mismatch"  # bf16-dot rounding is ~1e-4 relative
 
 g0 = jax.jit(jax.grad(lambda p: loss(p, False)))(params)
 g1 = jax.jit(jax.grad(lambda p: loss(p, True)))(params)

@@ -207,3 +207,38 @@ def test_logger_table(tmp_path, monkeypatch):
     content = (tmp_path / "t_metrics.jsonl").read_text()
     assert "train_examples" in content and "hi" in content
     assert len(TRAIN_TABLE_COLS) == 8
+
+
+def test_multilingual_decode_end_to_end():
+    """A multilingual-shaped model (n_vocab 51865) decodes with the
+    multilingual special-token layout: SOT sequence = sot + language + task,
+    and detect_language returns a distribution over the 99 language tokens
+    ([pip:whisper] decoding.detect_language semantics)."""
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=1, n_vocab=51865, n_text_ctx=448, n_text_state=64,
+        n_text_head=4, n_text_layer=1,
+    )
+    params = m.init_params(jax.random.PRNGKey(0), dims, include_padding_token=False)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, 80, 3000)) * 0.5
+
+    tok = get_tokenizer(multilingual=True, language="de", task="transcribe")
+    assert list(tok.sot_sequence) == [50258, tok.language_token, 50359]
+
+    r = decoding.decode(
+        params, dims, mel[0],
+        decoding.DecodingOptions(
+            language="de", task="transcribe", without_timestamps=True,
+            fp16=False, sample_len=8,
+        ),
+    )
+    assert isinstance(r, decoding.DecodingResult)
+    assert r.language == "de"
+    # every sampled token must be below the multilingual eot/special block
+    # or a legal text token; specials were suppressed by the filters
+    assert all(t < 51865 for t in r.tokens)
+
+    lang_tok, probs = decoding.detect_language(params, dims, mel[0], tok)
+    assert int(lang_tok) in set(tok.all_language_tokens)
+    assert len(probs) == len(tok.all_language_codes)
+    assert abs(sum(probs.values()) - 1.0) < 1e-3

@@ -193,7 +193,7 @@ def test_flash_config_threading(monkeypatch):
     way; this pins the config contract."""
     cfg = train_mod.TrainConfig()
     monkeypatch.delenv("OLMOASR_TRAIN_FLASH", raising=False)
-    assert cfg.resolved_flash() is False
+    assert cfg.resolved_flash() is True  # default ON (enc flash wins, perf/r2_train_flash3.log)
     monkeypatch.setenv("OLMOASR_TRAIN_FLASH", "1")
     assert cfg.resolved_flash() is True
     assert train_mod.TrainConfig(encoder_flash=False).resolved_flash() is False
