@@ -471,7 +471,9 @@ class KVCache(NamedTuple):
 
     self_k/self_v: (L, B, n_ctx, D) preallocated rings; ``index`` is the count
     of valid positions. cross_k/cross_v: (L, B, 1500, D) computed once per
-    audio window.
+    audio window — cross_k is stored TRANSPOSED (L, B, D, 1500) on TPU when
+    int8-quantized (see init_cache: the decode kernel's (H, T)-oriented q.K
+    dot), detected downstream by shape against cross_v.
 
     Optional int8 quantization of the cross k/v (the decode loop's dominant
     HBM traffic — read in full by every layer at every step): values stored
@@ -487,8 +489,9 @@ class KVCache(NamedTuple):
     cross_k: jax.Array  # bf16/f32, or int8 when quantized
     cross_v: jax.Array
     index: jax.Array  # scalar int32
-    cross_k_scale: Optional[jax.Array] = None  # (L, B, 1500) f32 when int8
-    cross_v_scale: Optional[jax.Array] = None
+    cross_k_scale: Optional[jax.Array] = None  # (L, B, 1, 1500) f32 when int8
+    cross_v_scale: Optional[jax.Array] = None  # (stored 4-D: the kernel's
+    # block layout — a per-step (L,B,T)->(L,B,1,T) reshape cost 0.8ms at B=128)
     self_k_scale: Optional[jax.Array] = None  # (L, B, 1, C) f32 when int8
     self_v_scale: Optional[jax.Array] = None
     # head-interleaved copy of cross_v (column p = head p%H, inner p//H) for
@@ -535,6 +538,20 @@ def init_cache(
     if quantize_cross:
         cross_k, ck_scale = _quantize_rows(cross_k)
         cross_v, cv_scale = _quantize_rows(cross_v)
+        ck_scale = ck_scale[:, :, None, :]  # (L, B, 1, T): kernel block layout
+        cv_scale = cv_scale[:, :, None, :]
+        # Transposed-K layout (L, B, D, T): the decode kernel's q.K dot runs
+        # in the (H, T) orientation with T on the 128 MXU/VPU lanes instead
+        # of H=12 padded to 128 — ~10x fewer wasted lanes on the dot, the
+        # scale multiplies, and the softmax. K is written once here and read
+        # every step, so the transpose is amortized 224x. Layout is detected
+        # downstream by shape (guarded against T == D here).
+        if (
+            jax.default_backend() == "tpu"
+            and os.environ.get("OLMOASR_CROSS_KT", "1") == "1"
+            and cross_k.shape[2] != cross_k.shape[3]
+        ):
+            cross_k = cross_k.transpose(0, 1, 3, 2)
     cross_v_il = None
     # NEGATIVE RESULT (kept opt-in): the head-interleaved V twin replaces the
     # kernel's expand dot with pltpu.repeat, but Mosaic lowers the lane tile
@@ -609,21 +626,33 @@ def _attend_cached(
 
 def cross_attend(
     q: jax.Array,  # (B, S, D)
-    ck: jax.Array,  # (B, Tk, D) bf16 or int8
+    ck: jax.Array,  # (B, Tk, D) bf16 or int8 — or (B, D, Tk) if k_transposed
     cv: jax.Array,
     n_head: int,
     ck_scale: Optional[jax.Array] = None,  # (B, Tk) when int8
     cv_scale: Optional[jax.Array] = None,
+    k_transposed: bool = False,
 ) -> jax.Array:
-    """Cross attention supporting int8 K/V with factored-out scales."""
+    """Cross attention supporting int8 K/V with factored-out scales and the
+    transposed (B, D, Tk) key layout the decode kernel prefers (used here by
+    the prefill / kernel-off paths; XLA contracts either layout natively)."""
     if ck_scale is None:
         return sdpa(q, ck, cv, n_head, None)
+    if ck_scale.ndim == 3:  # cache stores (…, 1, Tk); accept either
+        ck_scale = ck_scale[:, 0]
+    if cv_scale.ndim == 3:
+        cv_scale = cv_scale[:, 0]
     d_head = q.shape[-1] // n_head
     scale = d_head ** -0.25
     qh = _split_heads(q, n_head) * (scale * scale)  # fold both q,k scales into q
-    kh = _split_heads(ck.astype(qh.dtype), n_head)
     vh = _split_heads(cv.astype(qh.dtype), n_head)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)
+    if k_transposed:
+        B, D, Tk = ck.shape
+        kh = ck.reshape(B, n_head, d_head, Tk).astype(qh.dtype)
+        logits = jnp.einsum("bqhd,bhdk->bhqk", qh, kh).astype(jnp.float32)
+    else:
+        kh = _split_heads(ck.astype(qh.dtype), n_head)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)
     logits = logits * ck_scale[:, None, None, :].astype(jnp.float32)
     w = jax.nn.softmax(logits, axis=-1)
     # fold the v scale into the attention weights
@@ -651,6 +680,9 @@ def decode_step(
     dtype = dec["token_embedding"].dtype if self_quant else cache.self_k.dtype
     n_ctx = cache.self_k.shape[2]
     offset = cache.index
+    # transposed cross-K layout (L, B, D, T) — see init_cache; detected by
+    # shape against cross_v (init_cache never transposes when T == D)
+    ck_t = cache.cross_k.shape != cache.cross_v.shape
 
     x = dec["token_embedding"][tokens].astype(dtype)
     pos = jax.lax.dynamic_slice_in_dim(
@@ -762,15 +794,19 @@ def decode_step(
                 n_head=dims.n_text_head, v_interleaved=use_interleaved_v,
                 fast_softmax=os.environ.get("OLMOASR_FAST_SOFTMAX", "0") == "1",
                 wv_mode=os.environ.get("OLMOASR_WV_MODE", "dot"),
+                k_transposed=ck_t,
             )
         elif use_pallas_cross:
             from olmoasr_tpu.ops.attention import cross_attend_decode
 
+            assert not ck_t, "cross_attend_decode takes the (B, T, D) layout"
             cattn = cross_attend_decode(
                 qc, ck, cv, cks, cvs, n_head=dims.n_text_head
             ).astype(x.dtype)
         else:
-            cattn = cross_attend(qc, ck, cv, dims.n_text_head, cks, cvs)
+            cattn = cross_attend(
+                qc, ck, cv, dims.n_text_head, cks, cvs, k_transposed=ck_t
+            )
         if use_pallas_cross_block:
             pass  # out proj + residual fused into cross_block_decode
         elif use_pallas_self:
@@ -814,7 +850,8 @@ def decode_step(
     if use_pallas_cross_block and cross_ks is None:
         # the megakernel folds per-key scales unconditionally; bf16 caches
         # use ones (negligible extra read: (L, B, T) f32)
-        cross_ks = jnp.ones(cache.cross_k.shape[:3], jnp.float32)
+        L_, B_, T_, _ = cache.cross_v.shape
+        cross_ks = jnp.ones((L_, B_, 1, T_), jnp.float32)
         cross_vs = cross_ks
     layer_xs = (
         dec["blocks"], qkv_w, qkv_b,

@@ -629,8 +629,12 @@ def cross_attend_decode(
     T = k.shape[1]
     if k_scale is None:
         k_scale = jnp.ones((B, T), jnp.float32)
+    elif k_scale.ndim == 3:  # cache stores (B, 1, T); accept either
+        k_scale = k_scale[:, 0]
     if v_scale is None:
         v_scale = jnp.ones((B, T), jnp.float32)
+    elif v_scale.ndim == 3:
+        v_scale = v_scale[:, 0]
 
     kv_bytes = T * D * (1 if k.dtype == jnp.int8 else 2)
     row = lambda b: (b, 0, 0)
@@ -654,6 +658,107 @@ def cross_attend_decode(
         interpret=interpret,
     )(q, k_scale[:, None, :], v_scale[:, None, :], k, v)
     return out
+
+
+def _qk_logits_kt(kt_slice, qmT, dd):
+    """Per-head q.K logits against a TRANSPOSED (D, T) key block -> (H, T).
+
+    The (H, T) orientation is the MXU-friendly one: T rides the 128-lane axis
+    (fully used) and H=12 pads only to the 8-sublane granularity — vs the
+    (T, H) form whose H operand pads to 128 lanes (>10x wasted MXU columns and
+    VPU lanes). int8 keys take the native int8 MXU path with per-head q
+    quantization, exactly like _qk_logits.
+    """
+    if kt_slice.dtype == jnp.int8 and dd == jnp.bfloat16:
+        amax = jnp.max(jnp.abs(qmT), axis=1, keepdims=True)  # (H, 1)
+        qscale = jnp.maximum(amax, 1e-20) / 127.0
+        q8 = jnp.clip(jnp.round(qmT / qscale), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            q8, kt_slice,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (H, T) s32
+        return acc.astype(jnp.float32) * qscale
+    return jnp.dot(
+        qmT.astype(dd), kt_slice.astype(dd), preferred_element_type=jnp.float32
+    )
+
+
+def _cross_block_kernel_kt(
+    s_ref,  # scalar prefetch (1,) int32: [layer_idx]
+    x_ref,  # (1, 1, D) residual stream, this batch row
+    g_ref,  # (1, 1, D) cross LN gain
+    b_ref,  # (1, 1, D) cross LN bias
+    wq_ref,  # (1, D, D)
+    bq_ref,  # (1, 1, D)
+    wo_ref,  # (1, D, D)
+    bo_ref,  # (1, 1, D)
+    ks_ref,  # (1, 1, 1, T) f32 per-key k scales (ones when not quantized)
+    vs_ref,  # (1, 1, 1, T)
+    kt_ref,  # (1, 1, D, T) TRANSPOSED cross keys, this batch row
+    v_ref,  # (1, 1, T, D)
+    o_ref,  # (1, 1, D) new residual stream
+    *,
+    n_head: int,
+    wv_mode: str = "dot",
+):
+    """Transposed-key cross sub-block: all attention intermediates live in the
+    (H, T) orientation (T on lanes), so the q.K dot, the per-key scale
+    multiplies, the softmax transcendentals, and the w.V contraction all run
+    on ~H/128x fewer padded lanes than the (T, H) kernel."""
+    _, _, D, T = kt_ref.shape
+    dh = D // n_head
+    scale = dh ** -0.25
+    dd = _dot_dtype(x_ref.dtype)
+
+    x = x_ref[0, 0, :].astype(jnp.float32)
+    mean = jnp.mean(x)
+    var = jnp.mean((x - mean) ** 2)
+    h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    h = h * g_ref[0, 0, :].astype(jnp.float32) + b_ref[0, 0, :].astype(jnp.float32)
+
+    q = jnp.dot(
+        h[None, :].astype(dd), wq_ref[0, :, :].astype(dd),
+        preferred_element_type=jnp.float32,
+    )[0] + bq_ref[0, 0, :].astype(jnp.float32)  # (D,)
+    q = q * (scale * scale)
+
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (n_head, D), 0)
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (n_head, D), 1)
+    qmT = jnp.where(d_ids // dh == h_ids, q[None, :], 0.0)  # (H, D) fp32
+
+    logits = _qk_logits_kt(kt_ref[0, 0, :, :], qmT, dd)  # (H, T)
+    logits = logits * ks_ref[0, 0, 0, :][None, :]  # per-key int8 scale
+
+    m = jnp.max(logits, axis=1, keepdims=True)  # (H, 1)
+    e = jnp.exp(logits - m)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    w = e / denom  # (H, T) fp32
+    w = w * vs_ref[0, 0, 0, :][None, :]  # fold per-key v scale
+
+    if wv_mode == "dot8" and v_ref.dtype == jnp.int8:
+        umax = jnp.max(w, axis=1, keepdims=True)  # (H, 1); w >= 0
+        uscale = jnp.maximum(umax, 1e-20) / 127.0
+        u8 = jnp.clip(jnp.round(w / uscale), 0, 127).astype(jnp.int8)
+        out2 = jax.lax.dot_general(
+            u8, v_ref[0, 0, :, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * uscale  # (H, D)
+    else:
+        out2 = jax.lax.dot_general(
+            w.astype(dd), v_ref[0, 0, :, :].astype(dd),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, D)
+    hsel = (h_ids == d_ids // dh).astype(jnp.float32)  # (H, D)
+    attn = jnp.sum(out2 * hsel, axis=0, keepdims=True)  # (1, D)
+
+    out = jnp.dot(
+        attn.astype(dd), wo_ref[0, :, :].astype(dd),
+        preferred_element_type=jnp.float32,
+    )[0] + bo_ref[0, 0, :].astype(jnp.float32)
+    o_ref[0, 0, :] = (x + out).astype(o_ref.dtype)
 
 
 def _cross_block_kernel(
@@ -765,6 +870,7 @@ def _cross_block_kernel(
     jax.jit,
     static_argnames=(
         "n_head", "interpret", "v_interleaved", "fast_softmax", "wv_mode",
+        "k_transposed",
     ),
 )
 def cross_block_decode(
@@ -775,7 +881,7 @@ def cross_block_decode(
     bq: jax.Array,  # (L, D)
     wo: jax.Array,  # (L, D, D)
     bo: jax.Array,  # (L, D)
-    ck: jax.Array,  # (L, B, T, D) int8/bf16 cross keys (full stacked cache)
+    ck: jax.Array,  # (L, B, T, D) cross keys — or (L, B, D, T) if k_transposed
     cv: jax.Array,
     ck_scale: jax.Array,  # (L, B, T) f32 (pass ones when K/V are bf16)
     cv_scale: jax.Array,
@@ -786,6 +892,7 @@ def cross_block_decode(
     v_interleaved: bool = False,
     fast_softmax: bool = False,
     wv_mode: str = "expand",
+    k_transposed: bool = False,
 ) -> jax.Array:
     """Whole decode-step cross-attention sub-block in ONE kernel per layer:
     fp32 LN + q projection + int8 (or bf16) cross attention + output
@@ -805,7 +912,33 @@ def cross_block_decode(
     """
     B, S, D = x.shape
     assert S == 1
-    L, _, T, _ = ck.shape
+    # Scales ride as (L, B, 1, T): Mosaic requires the block's second-minor
+    # dim to divide 8 or equal the array dim, so a (1, 1, T) block over
+    # (L, B, T) is illegal. Callers on the hot path (init_cache) store them
+    # 4-D so no per-step reshape/relayout happens (an earlier per-step
+    # [:, :, None, :] cost ~0.8ms/step at B=128 in HBM copies).
+    if ck_scale.ndim == 3:
+        ck_scale = ck_scale[:, :, None, :]
+    if cv_scale.ndim == 3:
+        cv_scale = cv_scale[:, :, None, :]
+    if k_transposed:
+        assert not v_interleaved, "kt kernel uses the normal V layout"
+        L, _, _, T = ck.shape
+        k_block = pl.BlockSpec(
+            (1, 1, D, T), lambda b, s: (s[0], b, 0, 0), memory_space=pltpu.VMEM
+        )
+        kernel = functools.partial(
+            _cross_block_kernel_kt, n_head=n_head, wv_mode=wv_mode
+        )
+    else:
+        L, _, T, _ = ck.shape
+        k_block = pl.BlockSpec(
+            (1, 1, T, D), lambda b, s: (s[0], b, 0, 0), memory_space=pltpu.VMEM
+        )
+        kernel = functools.partial(
+            _cross_block_kernel, n_head=n_head, v_interleaved=v_interleaved,
+            fast_softmax=fast_softmax, wv_mode=wv_mode,
+        )
     scalars = jnp.stack([layer_idx.astype(jnp.int32)])
 
     row3 = lambda b, s: (b, 0, 0)
@@ -824,17 +957,14 @@ def cross_block_decode(
             pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, T), cache4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, T), cache4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T, D), cache4, memory_space=pltpu.VMEM),
+            k_block,
             pl.BlockSpec((1, 1, T, D), cache4, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, D), row3, memory_space=pltpu.VMEM),
     )
     kv_bytes = T * D * (1 if ck.dtype == jnp.int8 else 2)
     out = pl.pallas_call(
-        functools.partial(
-            _cross_block_kernel, n_head=n_head, v_interleaved=v_interleaved,
-            fast_softmax=fast_softmax, wv_mode=wv_mode,
-        ),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 1, D), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -845,7 +975,7 @@ def cross_block_decode(
         interpret=interpret,
     )(
         scalars, x, ln_g[:, None, :], ln_b[:, None, :], wq, bq[:, None, :],
-        wo, bo[:, None, :], ck_scale[:, :, None, :], cv_scale[:, :, None, :],
+        wo, bo[:, None, :], ck_scale, cv_scale,
         ck, cv,
     )
     return out

@@ -229,3 +229,50 @@ def test_cross_block_wv_modes(mode, tol):
     out = cross_block_decode(*args, n_head=H, interpret=True, wv_mode=mode)
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max()
     assert err < tol, err
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_cross_block_transposed_k(dtype):
+    """The transposed-K kernel ((H, T) orientation, K stored (L, B, D, T))
+    == the normal-layout kernel; bf16 engages the int8 MXU q path."""
+    from olmoasr_tpu.ops.attention import cross_block_decode
+
+    B, T, D, H, L = 2, 96, 64, 4, 2
+    ks = jax.random.split(jax.random.PRNGKey(7), 12)
+    mk = lambda i, *shape: (jax.random.normal(ks[i], shape) * 0.1).astype(dtype)
+    x = mk(0, B, 1, D)
+    ln_g, ln_b = jnp.ones((L, D), dtype), jnp.zeros((L, D), dtype)
+    wq, bq = mk(3, L, D, D), mk(4, L, D)
+    wo, bo = mk(5, L, D, D), mk(6, L, D)
+    ckq, cks = _quantize_rows(jax.random.normal(ks[7], (L, B, T, D)))
+    cvq, cvs = _quantize_rows(jax.random.normal(ks[8], (L, B, T, D)))
+    li = jnp.int32(1)
+    ref = cross_block_decode(
+        x, ln_g, ln_b, wq, bq, wo, bo, ckq, cvq, cks, cvs, li,
+        n_head=H, interpret=True, wv_mode="dot",
+    )
+    out = cross_block_decode(
+        x, ln_g, ln_b, wq, bq, wo, bo, ckq.transpose(0, 1, 3, 2), cvq, cks,
+        cvs, li, n_head=H, interpret=True, wv_mode="dot", k_transposed=True,
+    )
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max()
+    assert err < (3e-5 if dtype == jnp.float32 else 0.03), err
+
+
+def test_cross_attend_transposed_k_xla():
+    """XLA cross_attend contracts the (B, D, Tk) transposed-K layout to the
+    same result as the normal layout (prefill / kernel-off path)."""
+    from olmoasr_tpu.models.whisper import _quantize_rows as qr
+    from olmoasr_tpu.models.whisper import cross_attend
+
+    B, S, T, D, H = 2, 5, 96, 64, 4
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    q = jax.random.normal(ks[0], (B, S, D)) * 0.3
+    ckq, cks = qr(jax.random.normal(ks[1], (B, T, D)))
+    cvq, cvs = qr(jax.random.normal(ks[2], (B, T, D)))
+    ref = cross_attend(q, ckq, cvq, H, cks, cvs)
+    out = cross_attend(
+        q, ckq.transpose(0, 2, 1), cvq, H, cks, cvs, k_transposed=True
+    )
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert err < 1e-5, err
