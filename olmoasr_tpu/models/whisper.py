@@ -198,10 +198,10 @@ def _block_apply(
 ) -> jax.Array:
     """One residual attention block (model.py:445-529)."""
     h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
-    q = _linear(h, lp["attn_q_w"], lp["attn_q_b"])
+    q = _tag_proj(_linear(h, lp["attn_q_w"], lp["attn_q_b"]))
     if self_kv is None:
-        k = _linear(h, lp["attn_k_w"])
-        v = _linear(h, lp["attn_v_w"], lp["attn_v_b"])
+        k = _tag_proj(_linear(h, lp["attn_k_w"]))
+        v = _tag_proj(_linear(h, lp["attn_v_w"], lp["attn_v_b"]))
     else:
         k, v = self_kv
     x = x + _linear(
@@ -210,7 +210,7 @@ def _block_apply(
 
     if xa_kv is not None:
         h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
-        q = _linear(h, lp["cross_q_w"], lp["cross_q_b"])
+        q = _tag_proj(_linear(h, lp["cross_q_w"], lp["cross_q_b"]))
         ck, cv = xa_kv
         x = x + _linear(
             _tag_attn(sdpa(q, ck, cv, n_head, None)),
@@ -244,7 +244,14 @@ def _remat(fn, remat: bool):
     re-running attention, the costliest and most HBM-heavy part of the block
     forward; costs (B, T, D) per layer; measured 4882 vs 4810 tok/s on
     medium.en, perf/r2_train_flash5.log) | full (recompute everything, min
-    memory) | dots (save matmul outputs — measured OOM on medium.en) | none.
+    memory) | dots (save matmul outputs — OOMs on medium.en even at
+    micro_bs=4: it pins the stacked (24, B, H, 448, 1500) decoder attention
+    probabilities, ~2.6GB) | wide (save attn + all q/k/v/cross projections —
+    fits, but measured 4807 vs 4865 tok/s at micro_bs=8: the extra HBM
+    writes/reads of saved projections offset the skipped recompute) | none.
+    Also measured: micro_bs=16 4712 (weight traffic is not the bound) and
+    pre-casting the f32 params to bf16 outside the scans 0.99x
+    (perf/probe_castedweights.py — XLA already hoists the cast).
     """
     if not remat:
         return fn
@@ -258,6 +265,18 @@ def _remat(fn, remat: bool):
             fn,
             policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
         )
+    if policy_name == "wide":
+        # attn outputs + all q/k/v/cross projections: the bwd recompute skips
+        # every projection matmul and re-derives only LNs + attention probs +
+        # the MLP. Unlike ``dots`` this does NOT save the (T, 1500)/(T, T)
+        # attention probability matrices (the 2.6GB that OOMed dots) nor the
+        # 4096-wide MLP activations.
+        return jax.checkpoint(
+            fn,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "proj_out"
+            ),
+        )
     return jax.checkpoint(fn)
 
 
@@ -266,6 +285,13 @@ def _tag_attn(x: jax.Array) -> jax.Array:
     from jax.ad_checkpoint import checkpoint_name
 
     return checkpoint_name(x, "attn_out")
+
+
+def _tag_proj(x: jax.Array) -> jax.Array:
+    """Name q/k/v/cross projection outputs for the ``wide`` remat policy."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, "proj_out")
 
 
 def encode_audio(
@@ -326,9 +352,9 @@ def encode_audio(
 
     def block_fn(x, lp):
         h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
-        q = _linear(h, lp["attn_q_w"], lp["attn_q_b"])
-        k = _linear(h, lp["attn_k_w"])
-        v = _linear(h, lp["attn_v_w"], lp["attn_v_b"])
+        q = _tag_proj(_linear(h, lp["attn_q_w"], lp["attn_q_b"]))
+        k = _tag_proj(_linear(h, lp["attn_k_w"]))
+        v = _tag_proj(_linear(h, lp["attn_v_w"], lp["attn_v_b"]))
         x = x + _linear(_tag_attn(attn_fn(q, k, v)), lp["attn_o_w"], lp["attn_o_b"])
         h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
         h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
@@ -411,19 +437,19 @@ def decode_train(
     # cross k/v are per-layer projections of the same audio features; computing
     # them inside the scan keeps memory low and lets XLA overlap with attention.
     def block_fn(x, lp):
-        ck = _linear(audio_features, lp["cross_k_w"])
-        cv = _linear(audio_features, lp["cross_v_w"], lp["cross_v_b"])
+        ck = _tag_proj(_linear(audio_features, lp["cross_k_w"]))
+        cv = _tag_proj(_linear(audio_features, lp["cross_v_w"], lp["cross_v_b"]))
         if not use_flash:
             return _block_apply(lp, x, n_head, mask, xa_kv=(ck, cv)), None
         h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
-        q = _linear(h, lp["attn_q_w"], lp["attn_q_b"])
-        k = _linear(h, lp["attn_k_w"])
-        v = _linear(h, lp["attn_v_w"], lp["attn_v_b"])
+        q = _tag_proj(_linear(h, lp["attn_q_w"], lp["attn_q_b"]))
+        k = _tag_proj(_linear(h, lp["attn_k_w"]))
+        v = _tag_proj(_linear(h, lp["attn_v_w"], lp["attn_v_b"]))
         x = x + _linear(
             _tag_attn(self_attn(q, k, v)), lp["attn_o_w"], lp["attn_o_b"]
         )
         h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
-        q = _linear(h, lp["cross_q_w"], lp["cross_q_b"])
+        q = _tag_proj(_linear(h, lp["cross_q_w"], lp["cross_q_b"]))
         x = x + _linear(
             _tag_attn(cross_attn(q, ck, cv)), lp["cross_o_w"], lp["cross_o_b"]
         )
@@ -754,6 +780,7 @@ def decode_step(
                 q, cache.self_k, cache.self_v, k_new, v_new, offset, li,
                 cache.self_k_scale, cache.self_v_scale,
                 n_head=dims.n_text_head,
+                rows=int(os.environ.get("OLMOASR_SELF_ROWS", "1")),
             ).astype(x.dtype)
             x = matmul_residual(attn, x, blocks["attn_o_w"], blocks["attn_o_b"], li)
             if not use_pallas_cross_block:

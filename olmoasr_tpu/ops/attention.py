@@ -121,28 +121,30 @@ def _qk_logits(k_ref_slice, qm, dd):
 
 
 def _self_decode_body(
-    s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, ks_ref, vs_ref, n_head
+    s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, ks_ref, vs_ref, n_head,
+    r=0,
 ):
-    """Shared body; ks_ref/vs_ref are (1, 1, 1, C) per-position int8 scales or
-    None for bf16 rings."""
+    """Shared body; ks_ref/vs_ref are (1, rows, 1, C) per-position int8 scales
+    or None for bf16 rings. ``r`` selects the batch row within a multi-row
+    program (rows > 1 amortizes per-program dispatch/DMA-issue overhead)."""
     _, _, C, D = k_ref.shape
     dh = D // n_head
     scale = dh ** -0.25
     offset = s_ref[1]
     dd = _dot_dtype(q_ref.dtype)
 
-    q = q_ref[0, 0, :].astype(jnp.float32) * (scale * scale)
+    q = q_ref[r, 0, :].astype(jnp.float32) * (scale * scale)
     d_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 0)
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
     qm = jnp.where(d_ids // dh == h_ids, q[:, None], 0.0)  # (D, H)
 
-    logits = _qk_logits(k_ref[0, 0, :, :], qm, dd)  # (C, H)
+    logits = _qk_logits(k_ref[0, r, :, :], qm, dd)  # (C, H)
     if ks_ref is not None:
-        logits = logits * ks_ref[0, 0, 0, :][:, None]  # per-position int8 scale
+        logits = logits * ks_ref[0, r, 0, :][:, None]  # per-position int8 scale
     pos = jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 0)
     logits = jnp.where(pos < offset, logits, -jnp.inf)
     # this step's own key (position == offset, always visible to its query)
-    kn = kn_ref[0, 0, :].astype(jnp.float32)
+    kn = kn_ref[r, 0, :].astype(jnp.float32)
     logit_new = jnp.sum(
         kn[:, None] * qm, axis=0, keepdims=True
     )  # (1, H)
@@ -155,34 +157,39 @@ def _self_decode_body(
     w_new = e_new / denom  # (1, H)
 
     if vs_ref is not None:
-        w_old = w_old * vs_ref[0, 0, 0, :][:, None]  # fold v scale
+        w_old = w_old * vs_ref[0, r, 0, :][:, None]  # fold v scale
     # one transposed contraction out2[h, d] = sum_c w[c, h] * v[c, d], then
     # lane-select the head row (replaces expand-matmul + elementwise product
     # + ones-reduction; measured +12% end-to-end on the cross kernel)
     out2 = jax.lax.dot_general(
-        w_old.astype(dd), v_ref[0, 0, :, :].astype(dd),
+        w_old.astype(dd), v_ref[0, r, :, :].astype(dd),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (H, D)
     hsel = (h_ids.T == d_ids.T // dh).astype(jnp.float32)  # (H, D)
     out = jnp.sum(out2 * hsel, axis=0)  # (D,)
     wn_full = _expand_heads(w_new, n_head, dh, jnp.float32)  # (1, D)
-    out = out + wn_full[0] * vn_ref[0, 0, :].astype(jnp.float32)
-    o_ref[0, 0, :] = out.astype(o_ref.dtype)
+    out = out + wn_full[0] * vn_ref[r, 0, :].astype(jnp.float32)
+    o_ref[r, 0, :] = out.astype(o_ref.dtype)
 
 
 def _self_decode_kernel(s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
-                        *, n_head: int):
-    _self_decode_body(
-        s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, None, None, n_head
-    )
+                        *, n_head: int, rows: int = 1):
+    for r in range(rows):
+        _self_decode_body(
+            s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, None, None,
+            n_head, r=r,
+        )
 
 
 def _self_decode_kernel_q8(s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
-                           ks_ref, vs_ref, o_ref, *, n_head: int):
-    _self_decode_body(
-        s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, ks_ref, vs_ref, n_head
-    )
+                           ks_ref, vs_ref, o_ref, *, n_head: int,
+                           rows: int = 1):
+    for r in range(rows):
+        _self_decode_body(
+            s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, ks_ref, vs_ref,
+            n_head, r=r,
+        )
 
 
 def _ln_matmul_kernel(
@@ -442,7 +449,7 @@ def self_block_decode(
     return new_x, k_new, v_new
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_head", "rows", "interpret"))
 def self_attend_decode(
     q: jax.Array,  # (B, 1, D)
     k_ring: jax.Array,  # (L, B, C, D) full stacked rings (positions < offset valid)
@@ -455,10 +462,14 @@ def self_attend_decode(
     v_scale: Optional[jax.Array] = None,
     *,
     n_head: int,
+    rows: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Single-query self attention against the read-only KV rings + this
     step's key/value.
+
+    ``rows`` processes that many batch rows per program (grid B/rows),
+    amortizing per-program dispatch/DMA-issue overhead; must divide B.
 
     Takes the FULL stacked (L, B, C, D) rings and block-indexes the layer via
     scalar prefetch — inside the decode layer-scan this avoids XLA
@@ -470,6 +481,8 @@ def self_attend_decode(
     B, S, D = q.shape
     assert S == 1
     L, _, C, _ = k_ring.shape
+    if rows <= 0 or B % rows != 0:
+        rows = 1
     scalars = jnp.stack([layer_idx.astype(jnp.int32), offset.astype(jnp.int32)])
 
     row = lambda b, s: (b, 0, 0)
@@ -477,28 +490,30 @@ def self_attend_decode(
     ring4 = lambda b, s: (s[0], b, 0, 0)
     quantized = k_scale is not None
     in_specs = [
-        pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, C, D), ring, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, C, D), ring, memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 1, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 1, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 1, D), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows, C, D), ring, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows, C, D), ring, memory_space=pltpu.VMEM),
     ]
     operands = [scalars, q, k_new, v_new, k_ring, v_ring]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, 1, C), ring4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, C), ring4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 1, C), ring4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 1, C), ring4, memory_space=pltpu.VMEM),
         ]
         operands += [k_scale, v_scale]
-        kernel = functools.partial(_self_decode_kernel_q8, n_head=n_head)
+        kernel = functools.partial(
+            _self_decode_kernel_q8, n_head=n_head, rows=rows
+        )
     else:
-        kernel = functools.partial(_self_decode_kernel, n_head=n_head)
+        kernel = functools.partial(_self_decode_kernel, n_head=n_head, rows=rows)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
+        grid=(B // rows,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, D), row, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((rows, 1, D), row, memory_space=pltpu.VMEM),
     )
     kv_bytes = C * D * (1 if quantized else 2)
     out = pl.pallas_call(

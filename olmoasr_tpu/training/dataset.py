@@ -348,7 +348,11 @@ class BatchLoader:
 
     DistributedSampler analog: with ``shard_id/num_shards`` each host reads a
     disjoint strided subset (seeded shuffle, seed=42 like
-    train_timestamps.py:633-638).
+    train_timestamps.py:633-638). With ``prefetch > 0`` a producer thread
+    assembles up to that many batches ahead into a bounded queue, so host-side
+    sample loading/mel/tokenization overlaps the (async-dispatched) device
+    step — the torch-DataLoader-worker analog without process overhead (the
+    per-sample work is numpy/C-BPE, which releases the GIL).
     """
 
     def __init__(
@@ -363,6 +367,7 @@ class BatchLoader:
         num_shards: int = 1,
         num_workers: int = 0,
         drop_last: bool = True,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.micro_batch_size = micro_batch_size
@@ -372,6 +377,7 @@ class BatchLoader:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.num_workers = num_workers
+        self.prefetch = prefetch
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -385,7 +391,7 @@ class BatchLoader:
             rng.shuffle(idx)
         return idx[self.shard_id :: self.num_shards]
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
         per_step = self.micro_batch_size * self.accum_steps
         idx = self._indices()
         n_steps = len(idx) // per_step
@@ -410,6 +416,49 @@ class BatchLoader:
                 for k in ("mel", "text_input", "text_target", "padding_mask")
             }
             yield batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        _END, _ERR = object(), object()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def produce():
+            try:
+                for b in self._batches():
+                    if not _put(b):
+                        return  # consumer gone (early break / new epoch)
+                _put(_END)
+            except BaseException as e:  # surfaced on the consumer side
+                _put((_ERR, e))
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()
 
     def __len__(self) -> int:
         per_step = self.micro_batch_size * self.accum_steps

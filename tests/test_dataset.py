@@ -146,6 +146,47 @@ def test_batch_loader_shapes_and_sharding():
     assert len(i0 | i1) == 16
 
 
+def test_batch_loader_prefetch_equivalence():
+    """Background-prefetch batches == synchronous batches, and breaking out
+    of a prefetching iterator doesn't wedge subsequent epochs."""
+    wav = np.zeros(16000, np.int16)
+    samples = [
+        Sample(audio=wav, transcript=VTT, transcript_ext="vtt", norm_end=3000)
+        for _ in range(12)
+    ]
+    ds = AudioTextDataset(samples)
+    sync = list(BatchLoader(ds, 2, 1, shuffle=True, prefetch=0))
+    pre = list(BatchLoader(ds, 2, 1, shuffle=True, prefetch=2))
+    assert len(sync) == len(pre) == 6
+    for a, b in zip(sync, pre):
+        for k in a:
+            assert np.array_equal(a[k], b[k]), k
+    # early break, then a fresh epoch over the same loader
+    loader = BatchLoader(ds, 2, 1, shuffle=True, prefetch=2)
+    it = iter(loader)
+    next(it)
+    del it
+    loader.set_epoch(1)
+    assert len(list(loader)) == 6
+
+
+def test_batch_loader_prefetch_propagates_errors():
+    class Boom(AudioTextDataset):
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    wav = np.zeros(16000, np.int16)
+    samples = [
+        Sample(audio=wav, transcript=VTT, transcript_ext="vtt", norm_end=3000)
+        for _ in range(4)
+    ]
+    ds = Boom(samples)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(BatchLoader(ds, 2, 1, prefetch=2))
+
+
 def test_yodas_dataset():
     from olmoasr_tpu.training.dataset import YodasDataset
 

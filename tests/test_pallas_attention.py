@@ -119,6 +119,23 @@ def test_self_kernel_matches_attend_cached():
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_self_kernel_rows_per_program():
+    """rows=2/4 multi-row programs == the rows=1 kernel."""
+    from olmoasr_tpu.ops.attention import self_attend_decode
+
+    B, C, D, H, L = 4, 96, 64, 4, 2
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, 1, D), jnp.float32)
+    kr = jax.random.normal(jax.random.PRNGKey(1), (L, B, C, D), jnp.float32)
+    vr = jax.random.normal(jax.random.PRNGKey(2), (L, B, C, D), jnp.float32)
+    kn = jax.random.normal(jax.random.PRNGKey(3), (B, 1, D), jnp.float32)
+    vn = jax.random.normal(jax.random.PRNGKey(4), (B, 1, D), jnp.float32)
+    args = (q, kr, vr, kn, vn, jnp.int32(40), jnp.int32(1))
+    ref = self_attend_decode(*args, n_head=H, interpret=True)
+    for rows in (2, 4):
+        out = self_attend_decode(*args, n_head=H, rows=rows, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
 def test_cross_kernel_int8_qk_path_accuracy():
     """bf16 activations + int8 K trigger the native int8 MXU q.K dot; the
     q-quantization error must stay within int8-cache noise."""
