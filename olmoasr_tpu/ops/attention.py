@@ -701,32 +701,46 @@ def _qk_logits_kt(kt_slice, qmT, dd):
 
 def _cross_block_kernel_kt(
     s_ref,  # scalar prefetch (1,) int32: [layer_idx]
-    x_ref,  # (1, 1, D) residual stream, this batch row
+    x_ref,  # (rows, 1, D) residual stream, this program's batch rows
     g_ref,  # (1, 1, D) cross LN gain
     b_ref,  # (1, 1, D) cross LN bias
     wq_ref,  # (1, D, D)
     bq_ref,  # (1, 1, D)
     wo_ref,  # (1, D, D)
     bo_ref,  # (1, 1, D)
-    ks_ref,  # (1, 1, 1, T) f32 per-key k scales (ones when not quantized)
-    vs_ref,  # (1, 1, 1, T)
-    kt_ref,  # (1, 1, D, T) TRANSPOSED cross keys, this batch row
-    v_ref,  # (1, 1, T, D)
-    o_ref,  # (1, 1, D) new residual stream
+    ks_ref,  # (1, rows, 1, T) f32 per-key k scales (ones when not quantized)
+    vs_ref,  # (1, rows, 1, T)
+    kt_ref,  # (1, rows, D, T) TRANSPOSED cross keys
+    v_ref,  # (1, rows, T, D)
+    o_ref,  # (rows, 1, D) new residual stream
     *,
     n_head: int,
     wv_mode: str = "dot",
+    rows: int = 1,
 ):
     """Transposed-key cross sub-block: all attention intermediates live in the
     (H, T) orientation (T on lanes), so the q.K dot, the per-key scale
     multiplies, the softmax transcendentals, and the w.V contraction all run
-    on ~H/128x fewer padded lanes than the (T, H) kernel."""
+    on ~H/128x fewer padded lanes than the (T, H) kernel. ``rows`` batch rows
+    share one program (and one read of the layer's weights)."""
+    for r in range(rows):
+        _cross_block_body_kt(
+            x_ref, g_ref, b_ref, wq_ref, bq_ref, wo_ref, bo_ref,
+            ks_ref, vs_ref, kt_ref, v_ref, o_ref, n_head=n_head,
+            wv_mode=wv_mode, r=r,
+        )
+
+
+def _cross_block_body_kt(
+    x_ref, g_ref, b_ref, wq_ref, bq_ref, wo_ref, bo_ref,
+    ks_ref, vs_ref, kt_ref, v_ref, o_ref, *, n_head, wv_mode, r,
+):
     _, _, D, T = kt_ref.shape
     dh = D // n_head
     scale = dh ** -0.25
     dd = _dot_dtype(x_ref.dtype)
 
-    x = x_ref[0, 0, :].astype(jnp.float32)
+    x = x_ref[r, 0, :].astype(jnp.float32)
     mean = jnp.mean(x)
     var = jnp.mean((x - mean) ** 2)
     h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
@@ -742,27 +756,27 @@ def _cross_block_kernel_kt(
     d_ids = jax.lax.broadcasted_iota(jnp.int32, (n_head, D), 1)
     qmT = jnp.where(d_ids // dh == h_ids, q[None, :], 0.0)  # (H, D) fp32
 
-    logits = _qk_logits_kt(kt_ref[0, 0, :, :], qmT, dd)  # (H, T)
-    logits = logits * ks_ref[0, 0, 0, :][None, :]  # per-key int8 scale
+    logits = _qk_logits_kt(kt_ref[0, r, :, :], qmT, dd)  # (H, T)
+    logits = logits * ks_ref[0, r, 0, :][None, :]  # per-key int8 scale
 
     m = jnp.max(logits, axis=1, keepdims=True)  # (H, 1)
     e = jnp.exp(logits - m)
     denom = jnp.sum(e, axis=1, keepdims=True)
     w = e / denom  # (H, T) fp32
-    w = w * vs_ref[0, 0, 0, :][None, :]  # fold per-key v scale
+    w = w * vs_ref[0, r, 0, :][None, :]  # fold per-key v scale
 
     if wv_mode == "dot8" and v_ref.dtype == jnp.int8:
         umax = jnp.max(w, axis=1, keepdims=True)  # (H, 1); w >= 0
         uscale = jnp.maximum(umax, 1e-20) / 127.0
         u8 = jnp.clip(jnp.round(w / uscale), 0, 127).astype(jnp.int8)
         out2 = jax.lax.dot_general(
-            u8, v_ref[0, 0, :, :],
+            u8, v_ref[0, r, :, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32) * uscale  # (H, D)
     else:
         out2 = jax.lax.dot_general(
-            w.astype(dd), v_ref[0, 0, :, :].astype(dd),
+            w.astype(dd), v_ref[0, r, :, :].astype(dd),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (H, D)
@@ -773,7 +787,7 @@ def _cross_block_kernel_kt(
         attn.astype(dd), wo_ref[0, :, :].astype(dd),
         preferred_element_type=jnp.float32,
     )[0] + bo_ref[0, 0, :].astype(jnp.float32)
-    o_ref[0, 0, :] = (x + out).astype(o_ref.dtype)
+    o_ref[r, 0, :] = (x + out).astype(o_ref.dtype)
 
 
 def _cross_block_kernel(
@@ -885,7 +899,7 @@ def _cross_block_kernel(
     jax.jit,
     static_argnames=(
         "n_head", "interpret", "v_interleaved", "fast_softmax", "wv_mode",
-        "k_transposed",
+        "k_transposed", "rows",
     ),
 )
 def cross_block_decode(
@@ -908,6 +922,7 @@ def cross_block_decode(
     fast_softmax: bool = False,
     wv_mode: str = "expand",
     k_transposed: bool = False,
+    rows: int = 1,
 ) -> jax.Array:
     """Whole decode-step cross-attention sub-block in ONE kernel per layer:
     fp32 LN + q projection + int8 (or bf16) cross attention + output
@@ -936,14 +951,17 @@ def cross_block_decode(
         ck_scale = ck_scale[:, :, None, :]
     if cv_scale.ndim == 3:
         cv_scale = cv_scale[:, :, None, :]
+    if rows <= 0 or B % rows != 0 or not k_transposed:
+        rows = 1  # multi-row programs implemented for the kt kernel only
     if k_transposed:
         assert not v_interleaved, "kt kernel uses the normal V layout"
         L, _, _, T = ck.shape
         k_block = pl.BlockSpec(
-            (1, 1, D, T), lambda b, s: (s[0], b, 0, 0), memory_space=pltpu.VMEM
+            (1, rows, D, T), lambda b, s: (s[0], b, 0, 0),
+            memory_space=pltpu.VMEM,
         )
         kernel = functools.partial(
-            _cross_block_kernel_kt, n_head=n_head, wv_mode=wv_mode
+            _cross_block_kernel_kt, n_head=n_head, wv_mode=wv_mode, rows=rows
         )
     else:
         L, _, T, _ = ck.shape
@@ -961,21 +979,21 @@ def cross_block_decode(
     cache4 = lambda b, s: (s[0], b, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
+        grid=(B // rows,),
         in_specs=[
-            pl.BlockSpec((1, 1, D), row3, memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),  # x
             pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, D), lay3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, D), lay3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, T), cache4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, T), cache4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 1, T), cache4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 1, T), cache4, memory_space=pltpu.VMEM),
             k_block,
-            pl.BlockSpec((1, 1, T, D), cache4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, T, D), cache4, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, D), row3, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),
     )
     kv_bytes = T * D * (1 if ck.dtype == jnp.int8 else 2)
     out = pl.pallas_call(

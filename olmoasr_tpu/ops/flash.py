@@ -21,6 +21,21 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+# Ambient mesh for SPMD execution (set by the trainer). The Pallas flash
+# kernel defines no SPMD partitioning rule, so under a >1-device mesh XLA
+# would conservatively replicate its operands (all-gather the full batch onto
+# every chip). With a mesh registered here, ``flash_mha`` wraps the kernel in
+# ``shard_map`` over the batch axis instead: each device runs the kernel on
+# its local batch shard — attention is batch-parallel, so no collectives are
+# needed. Replaces the r2 stopgap of disabling flash on multi-chip meshes.
+_FLASH_MESH = None
+
+
+def set_flash_mesh(mesh) -> None:
+    """Register (or clear, with None) the mesh flash_mha shards over."""
+    global _FLASH_MESH
+    _FLASH_MESH = mesh
+
 
 def _pad_to(x: jax.Array, target: int, axis: int) -> jax.Array:
     pad = target - x.shape[axis]
@@ -54,7 +69,61 @@ def flash_mha(
     masking (token padding) is expressed through ``q_ids``/``kv_ids``:
     attention flows only where ids match (the reference's additive -inf
     padding-column mask, model.py:684-686, is the ids∈{0,1} special case).
+
+    Under a registered multi-device mesh (``set_flash_mesh``) the kernel runs
+    inside ``shard_map`` with the batch dim sharded over every mesh axis —
+    the SPMD form of the NCCL-free DDP/FSDP batch split (attention itself
+    needs no collectives).
     """
+    mesh = _FLASH_MESH
+    B = q.shape[0]
+    if mesh is not None and mesh.size > 1 and B % mesh.size == 0:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(mesh.axis_names)
+        b = P(axes, None, None)
+        ids = P(axes, None)
+        args = [q, k, v]
+        specs = [b, b, b]
+        for a in (q_ids, kv_ids):
+            if a is not None:
+                args.append(a)
+                specs.append(ids)
+        n_ids = len(args) - 3
+
+        def local(*xs):
+            qq, kk, vv = xs[:3]
+            rest = list(xs[3:])
+            qi = rest.pop(0) if q_ids is not None else None
+            ki = rest.pop(0) if kv_ids is not None else None
+            return _flash_mha_local(
+                qq, kk, vv, n_head, causal=causal, q_ids=qi, kv_ids=ki,
+                block=block,
+            )
+
+        del n_ids
+        return shard_map(
+            local, mesh=mesh, in_specs=tuple(specs), out_specs=b,
+            check_rep=False,
+        )(*args)
+    return _flash_mha_local(
+        q, k, v, n_head, causal=causal, q_ids=q_ids, kv_ids=kv_ids, block=block
+    )
+
+
+def _flash_mha_local(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    n_head: int,
+    *,
+    causal: bool = False,
+    q_ids: Optional[jax.Array] = None,
+    kv_ids: Optional[jax.Array] = None,
+    block: Optional[int] = None,
+) -> jax.Array:
+    """Single-device flash attention (the pre-shard_map body of flash_mha)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         SegmentIds,

@@ -270,17 +270,23 @@ def make_sharded_train_step(
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    # The Pallas flash kernel defines no SPMD partitioning rule: under a
-    # multi-device mesh XLA would conservatively REPLICATE its operands
-    # (all-gathering the full batch onto every chip). Until a shard_map
-    # wrapper is added and validated on real multi-chip hardware, gate flash
-    # off when the mesh has >1 device (OLMOASR_TRAIN_FLASH_MULTICHIP=1
-    # overrides for experimentation).
+    # The Pallas flash kernel defines no SPMD partitioning rule, so under a
+    # multi-device mesh the kernel runs inside shard_map with the batch dim
+    # sharded over every mesh axis (ops/flash.py::set_flash_mesh) — attention
+    # is batch-parallel, so no collectives are needed. Semantics validated on
+    # the 8-CPU virtual mesh under Pallas interpret mode
+    # (tests/test_training.py::test_flash_shard_map_multidevice);
+    # OLMOASR_TRAIN_FLASH_MULTICHIP=0 falls back to XLA attention.
     import os as _os
 
     flash = config.resolved_flash()
-    if mesh.size > 1 and _os.environ.get("OLMOASR_TRAIN_FLASH_MULTICHIP") != "1":
-        flash = False
+    if mesh.size > 1:
+        if _os.environ.get("OLMOASR_TRAIN_FLASH_MULTICHIP", "1") != "1":
+            flash = False
+        else:
+            from olmoasr_tpu.ops import flash as flash_mod
+
+            flash_mod.set_flash_mesh(mesh)
     step_fn = make_train_step(dims, config, optimizer, flash=flash)
     batch_spec = NamedSharding(
         mesh, P(None, (mesh_mod.DATA_AXIS, mesh_mod.FSDP_AXIS))

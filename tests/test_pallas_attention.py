@@ -276,6 +276,33 @@ def test_cross_block_transposed_k(dtype):
     assert err < (3e-5 if dtype == jnp.float32 else 0.03), err
 
 
+def test_cross_block_transposed_k_rows():
+    """Multi-row kt programs (rows=2) == rows=1."""
+    from olmoasr_tpu.ops.attention import cross_block_decode
+
+    B, T, D, H, L = 4, 96, 64, 4, 2
+    ks = jax.random.split(jax.random.PRNGKey(11), 12)
+    mk = lambda i, *shape: jax.random.normal(ks[i], shape) * 0.1
+    x = mk(0, B, 1, D)
+    ln_g, ln_b = jnp.ones((L, D)), jnp.zeros((L, D))
+    wq, bq = mk(3, L, D, D), mk(4, L, D)
+    wo, bo = mk(5, L, D, D), mk(6, L, D)
+    ckq, cks = _quantize_rows(jax.random.normal(ks[7], (L, B, T, D)))
+    cvq, cvs = _quantize_rows(jax.random.normal(ks[8], (L, B, T, D)))
+    args = (
+        x, ln_g, ln_b, wq, bq, wo, bo, ckq.transpose(0, 1, 3, 2), cvq, cks,
+        cvs, jnp.int32(1),
+    )
+    ref = cross_block_decode(
+        *args, n_head=H, interpret=True, wv_mode="dot", k_transposed=True
+    )
+    out = cross_block_decode(
+        *args, n_head=H, interpret=True, wv_mode="dot", k_transposed=True,
+        rows=2,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
 def test_cross_attend_transposed_k_xla():
     """XLA cross_attend contracts the (B, D, Tk) transposed-K layout to the
     same result as the normal layout (prefill / kernel-off path)."""
