@@ -189,6 +189,52 @@ def bench_longform():
     )
 
 
+def bench_data():
+    """Host input-pipeline throughput (samples/s): synthetic 30s segments
+    through AudioTextDataset (npy audio -> log-mel -> tokens -> padding mask)
+    + the prefetching BatchLoader. The reference's bottleneck shape
+    (SURVEY §7.2: host must sustain ~512 segments/step for the global batch);
+    compare against micro_bs * chips / step_time. OLMOASR_BENCH_MODE=data."""
+    import time as _time
+
+    from olmoasr_tpu.training.dataset import AudioTextDataset, BatchLoader, Sample
+
+    n = int(os.environ.get("OLMOASR_BENCH_SAMPLES", "256"))
+    workers = int(os.environ.get("OLMOASR_BENCH_WORKERS", str(os.cpu_count() or 8)))
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(16000 * 30) * 3000).astype(np.int16)
+    vtt = "WEBVTT\n\n" + "\n\n".join(
+        f"00:{i:02d}.000 --> 00:{i+1:02d}.500\nhello world segment {i}"
+        for i in range(0, 28, 2)
+    )
+    samples = [
+        Sample(audio=wav, transcript=vtt, transcript_ext="vtt", norm_end=30000)
+        for _ in range(n)
+    ]
+    ds = AudioTextDataset(samples)
+    loader = BatchLoader(
+        ds, micro_batch_size=8, accum_steps=1, shuffle=False,
+        num_workers=workers, prefetch=4,
+    )
+    _ = ds[0]  # warm caches (mel filterbank, tokenizer)
+    t0 = _time.perf_counter()
+    count = sum(b["mel"].shape[0] * b["mel"].shape[1] for b in loader)
+    dt = _time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": f"input pipeline throughput ({workers} workers, "
+                "30s segments: npy->mel->tokens->mask)",
+                "value": round(count / dt, 1),
+                "unit": "samples/s/host",
+                # vs the 512-segment global batch at a 1s step (the
+                # reference's effective-batch shape, train_timestamps.py)
+                "vs_baseline": round((count / dt) / 512.0, 3),
+            }
+        )
+    )
+
+
 def main():
     import olmoasr_tpu.cache_config  # persistent XLA cache
     import jax
@@ -275,5 +321,7 @@ if __name__ == "__main__":
         bench_train()
     elif mode == "longform":
         bench_longform()
+    elif mode == "data":
+        bench_data()
     else:
         main()
