@@ -783,6 +783,7 @@ def decode_step(
                 # rows=8 measured best at B=128 (1356 vs 1317 RTFx; 16 blows
                 # VMEM); falls back to 1 when B isn't divisible
                 rows=int(os.environ.get("OLMOASR_SELF_ROWS", "8")),
+                ht=os.environ.get("OLMOASR_SELF_HT", "0") == "1",
             ).astype(x.dtype)
             x = matmul_residual(attn, x, blocks["attn_o_w"], blocks["attn_o_b"], li)
             if not use_pallas_cross_block:

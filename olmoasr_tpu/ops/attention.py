@@ -173,10 +173,72 @@ def _self_decode_body(
     o_ref[r, 0, :] = out.astype(o_ref.dtype)
 
 
+def _self_decode_body_ht(
+    s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, ks_ref, vs_ref, n_head,
+    r=0,
+):
+    """(H, C)-oriented variant of _self_decode_body: the q.K logits are
+    produced directly as (H, C) via a transposed-RHS dot (K stays in its
+    (C, D) ring layout — the same trans-B contraction the flash kernels use),
+    so the mask/softmax/scale elementwise ops run on (H→16 sublanes,
+    C→lanes) instead of (C sublanes, H=12→128 lanes): ~7x fewer padded
+    elements, and the value contraction becomes a NORMAL (H,C)@(C,D) matmul.
+    int8 rings dequantize to the dot dtype (the trans-B int8 MXU path is not
+    exercised here; per-position scales fold into the (H, C) logits on
+    lanes)."""
+    _, _, C, D = k_ref.shape
+    dh = D // n_head
+    scale = dh ** -0.25
+    offset = s_ref[1]
+    dd = _dot_dtype(q_ref.dtype)
+
+    q = q_ref[r, 0, :].astype(jnp.float32) * (scale * scale)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (n_head, D), 0)
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (n_head, D), 1)
+    qmT = jnp.where(d_ids // dh == h_ids, q[None, :], 0.0)  # (H, D) fp32
+
+    # (H, D) x (C, D) contracting D on both -> (H, C); Mosaic lowers the
+    # transposed-RHS dot natively (the flash-attention q.k^T pattern)
+    logits = jax.lax.dot_general(
+        qmT.astype(dd), k_ref[0, r, :, :].astype(dd),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H, C)
+    if ks_ref is not None:
+        logits = logits * ks_ref[0, r, 0, :][None, :]  # per-position scale
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n_head, C), 1)
+    logits = jnp.where(pos < offset, logits, -jnp.inf)
+    # this step's own key (position == offset, always visible to its query)
+    kn = kn_ref[r, 0, :].astype(jnp.float32)
+    logit_new = jnp.sum(qmT * kn[None, :], axis=1, keepdims=True)  # (H, 1)
+
+    m = jnp.maximum(jnp.max(logits, axis=1, keepdims=True), logit_new)
+    e_old = jnp.where(pos < offset, jnp.exp(logits - m), 0.0)  # (H, C)
+    e_new = jnp.exp(logit_new - m)  # (H, 1)
+    denom = jnp.sum(e_old, axis=1, keepdims=True) + e_new
+    w_old = e_old / denom  # (H, C)
+    w_new = e_new / denom  # (H, 1)
+
+    if vs_ref is not None:
+        w_old = w_old * vs_ref[0, r, 0, :][None, :]
+    out2 = jax.lax.dot_general(
+        w_old.astype(dd), v_ref[0, r, :, :].astype(dd),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H, D) — normal matmul, no transpose
+    hsel = (h_ids == d_ids // dh).astype(jnp.float32)  # (H, D)
+    out = jnp.sum(out2 * hsel, axis=0)  # (D,)
+    # fold the new token's value: out[d] += w_new[d//dh] * vn[d]
+    wn_d = jnp.sum(hsel * w_new, axis=0)  # (D,)
+    out = out + wn_d * vn_ref[r, 0, :].astype(jnp.float32)
+    o_ref[r, 0, :] = out.astype(o_ref.dtype)
+
+
 def _self_decode_kernel(s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
-                        *, n_head: int, rows: int = 1):
+                        *, n_head: int, rows: int = 1, ht: bool = False):
+    body = _self_decode_body_ht if ht else _self_decode_body
     for r in range(rows):
-        _self_decode_body(
+        body(
             s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, None, None,
             n_head, r=r,
         )
@@ -184,9 +246,10 @@ def _self_decode_kernel(s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
 
 def _self_decode_kernel_q8(s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
                            ks_ref, vs_ref, o_ref, *, n_head: int,
-                           rows: int = 1):
+                           rows: int = 1, ht: bool = False):
+    body = _self_decode_body_ht if ht else _self_decode_body
     for r in range(rows):
-        _self_decode_body(
+        body(
             s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref, ks_ref, vs_ref,
             n_head, r=r,
         )
@@ -449,7 +512,9 @@ def self_block_decode(
     return new_x, k_new, v_new
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "rows", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "rows", "ht", "interpret")
+)
 def self_attend_decode(
     q: jax.Array,  # (B, 1, D)
     k_ring: jax.Array,  # (L, B, C, D) full stacked rings (positions < offset valid)
@@ -463,6 +528,7 @@ def self_attend_decode(
     *,
     n_head: int,
     rows: int = 1,
+    ht: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Single-query self attention against the read-only KV rings + this
@@ -470,6 +536,8 @@ def self_attend_decode(
 
     ``rows`` processes that many batch rows per program (grid B/rows),
     amortizing per-program dispatch/DMA-issue overhead; must divide B.
+    ``ht`` computes attention in the (H, C) orientation (trans-B q.K dot;
+    see _self_decode_body_ht).
 
     Takes the FULL stacked (L, B, C, D) rings and block-indexes the layer via
     scalar prefetch — inside the decode layer-scan this avoids XLA
@@ -504,10 +572,12 @@ def self_attend_decode(
         ]
         operands += [k_scale, v_scale]
         kernel = functools.partial(
-            _self_decode_kernel_q8, n_head=n_head, rows=rows
+            _self_decode_kernel_q8, n_head=n_head, rows=rows, ht=ht
         )
     else:
-        kernel = functools.partial(_self_decode_kernel, n_head=n_head, rows=rows)
+        kernel = functools.partial(
+            _self_decode_kernel, n_head=n_head, rows=rows, ht=ht
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

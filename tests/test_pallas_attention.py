@@ -120,7 +120,8 @@ def test_self_kernel_matches_attend_cached():
 
 
 def test_self_kernel_rows_per_program():
-    """rows=2/4 multi-row programs == the rows=1 kernel."""
+    """rows=2/4 multi-row programs == the rows=1 kernel; the (H, C)-oriented
+    ht variant == the (C, H) kernel (incl. offset edge cases)."""
     from olmoasr_tpu.ops.attention import self_attend_decode
 
     B, C, D, H, L = 4, 96, 64, 4, 2
@@ -134,6 +135,11 @@ def test_self_kernel_rows_per_program():
     for rows in (2, 4):
         out = self_attend_decode(*args, n_head=H, rows=rows, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    for off in (0, 40, 96):
+        a = (q, kr, vr, kn, vn, jnp.int32(off), jnp.int32(1))
+        want = self_attend_decode(*a, n_head=H, interpret=True)
+        got = self_attend_decode(*a, n_head=H, ht=True, rows=2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
 def test_cross_kernel_int8_qk_path_accuracy():
