@@ -136,7 +136,7 @@ def bench_longform():
     from olmoasr_tpu.transcribe import transcribe_many
 
     variant = os.environ.get("OLMOASR_BENCH_VARIANT", "small.en")
-    os.environ.setdefault("OLMOASR_DECODE_CHUNK", "112")  # see main()
+    os.environ.setdefault("OLMOASR_DECODE_CHUNK", "224")  # see main()
     n_files = int(os.environ.get("OLMOASR_BENCH_FILES", "32"))
     file_seconds = float(os.environ.get("OLMOASR_BENCH_FILE_SECONDS", "120"))
     batch = int(os.environ.get("OLMOASR_BENCH_BATCH", "32"))
@@ -250,11 +250,12 @@ def main():
     sample_len = int(os.environ.get("OLMOASR_BENCH_SAMPLEN", "0")) or int(
         os.environ.get("OLMOASR_BENCH_SAMPLE_LEN", "224")
     )
-    # worst-case benchmark (every sequence runs all 224 steps): halve the
-    # early-exit host syncs (7 -> 2 per decode; each costs a tunnel RTT).
+    # worst-case benchmark (every sequence runs all 224 steps): a single
+    # 224-step chunk removes every mid-decode early-exit host sync (each
+    # costs a tunnel RTT; 112 -> 224 measured 1362 -> 1395 RTFx at B=128).
     # Real-weights serving keeps the default chunk=32, where windows finish
     # in 40-100 steps and the early exit pays for the extra syncs.
-    os.environ.setdefault("OLMOASR_DECODE_CHUNK", "112")
+    os.environ.setdefault("OLMOASR_DECODE_CHUNK", "224")
     iters = int(os.environ.get("OLMOASR_BENCH_ITERS", "5"))
     kv_quant = os.environ.get("OLMOASR_BENCH_KV_QUANT", "1") == "1"
 
