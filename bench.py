@@ -148,8 +148,14 @@ def bench_longform():
         lambda x: x.astype(jnp.bfloat16), model.params
     )
     rng = _np.random.default_rng(0)
+    # 16-bit-PCM-representable waveforms (what load_audio produces from real
+    # files) so the int16 host->device transport engages — the upload is the
+    # long-form bottleneck through the remote-chip tunnel
     wavs = [
-        (rng.standard_normal(int(16000 * file_seconds)) * 0.05).astype(_np.float32)
+        _np.round(rng.standard_normal(int(16000 * file_seconds)) * 0.05 * 32768)
+        .clip(-32768, 32767)
+        .astype(_np.float32)
+        / 32768.0
         for _ in range(n_files)
     ]
     # random weights always fail the quality gates (escalating every window

@@ -21,7 +21,7 @@ Two implementations are provided:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Union
+from typing import Optional, Tuple, Union
 
 import numpy as np
 
@@ -151,21 +151,66 @@ def log_mel_spectrogram_np(
     return out[0] if squeeze else out
 
 
-@functools.partial(jax.jit, static_argnames=("n_mels", "padding"))
-def _log_mel_jax(audio: jax.Array, n_mels: int, padding: int) -> jax.Array:
+@functools.lru_cache(maxsize=2)
+def _rdft_matrices_np(n: int = N_FFT) -> Tuple[np.ndarray, np.ndarray]:
+    """Real-DFT (n, n//2+1) cos/sin matrices: rfft(x) = x@C - i·(x@S).
+
+    Computed in float64 then cast — the f32 matmul against these matches
+    np.fft.rfft to ~1e-5 relative."""
+    t = np.arange(n)[:, None].astype(np.float64)
+    k = np.arange(n // 2 + 1)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * t * k / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels", "padding", "use_fft"))
+def _log_mel_jax(
+    audio: jax.Array, n_mels: int, padding: int, use_fft: bool = False
+) -> jax.Array:
+    if audio.dtype == jnp.int16:
+        # PCM-16 transport: callers upload int16 (half the bytes — the
+        # host->device link is the long-form bottleneck on a remote chip)
+        # and the exact /32768 rescale happens here on device.
+        audio = audio.astype(jnp.float32) / 32768.0
     if padding > 0:
         audio = jnp.pad(audio, [(0, 0), (0, padding)])
-    window = jnp.asarray(_hann_window_np(N_FFT))
     padded = jnp.pad(audio, [(0, 0), (N_FFT // 2, N_FFT // 2)], mode="reflect")
-    n_frames_total = 1 + (padded.shape[-1] - N_FFT) // HOP_LENGTH
-    starts = HOP_LENGTH * jnp.arange(n_frames_total)
-    idx = starts[:, None] + jnp.arange(N_FFT)[None, :]
-    frames = padded[:, idx] * window  # (B, T, N_FFT)
-    stft = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
-    magnitudes = jnp.abs(stft[:, :-1, :]) ** 2
+    if use_fft:
+        window = jnp.asarray(_hann_window_np(N_FFT))
+        n_frames_total = 1 + (padded.shape[-1] - N_FFT) // HOP_LENGTH
+        starts = HOP_LENGTH * jnp.arange(n_frames_total)
+        idx = starts[:, None] + jnp.arange(N_FFT)[None, :]
+        frames = padded[:, idx] * window  # (B, T, N_FFT)
+        stft = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+        magnitudes = jnp.abs(stft[:, :-1, :]) ** 2  # (B, T-1, n_fft//2+1)
+        magnitudes = magnitudes.transpose(0, 2, 1)  # (B, F, T-1)
+    else:
+        # The framed-gather + FFT formulation is pathological on TPU: the
+        # overlapping-window gather materializes (B, T, 400) through a
+        # scatter-gather and XLA's 400-point FFT is far off speed-of-light —
+        # measured ~9s for 64x150s of audio, serializing batched long-form.
+        # Expressed instead as ONE strided f32 convolution (N_FFT-tap kernels
+        # = windowed cos/sin DFT bases, stride=hop), the same STFT runs on
+        # the MXU in milliseconds and matches np.fft.rfft to ~1e-5 relative.
+        cos_m, sin_m = _rdft_matrices_np(N_FFT)  # (400, 201) each
+        window = _hann_window_np(N_FFT)
+        kernel = np.concatenate(
+            [cos_m.T, sin_m.T], axis=0
+        ) * window[None, :]  # (402, 400)
+        out = jax.lax.conv_general_dilated(
+            padded[:, None, :].astype(jnp.float32),  # (B, 1, L)
+            jnp.asarray(kernel[:, None, :]),  # (O=402, I=1, W=400)
+            window_strides=(HOP_LENGTH,),
+            padding=[(0, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )  # (B, 402, T)
+        out = out[:, :, :-1]  # drop last frame (torch.stft parity)
+        nf = N_FFT // 2 + 1
+        re, im = out[:, :nf, :], out[:, nf:, :]
+        magnitudes = re * re + im * im  # (B, F, T-1)
 
     filters = jnp.asarray(mel_filters_np(n_mels))
-    mel_spec = jnp.einsum("btf,mf->bmt", magnitudes, filters)
+    mel_spec = jnp.einsum("bft,mf->bmt", magnitudes, filters)
 
     log_spec = jnp.log10(jnp.maximum(mel_spec, 1e-10))
     log_spec = jnp.maximum(
@@ -186,7 +231,10 @@ def log_mel_spectrogram(
     """
     if isinstance(audio, str):
         audio = load_audio(audio)
-    audio = jnp.asarray(audio, dtype=jnp.float32)
+    is_i16 = getattr(audio, "dtype", None) == np.int16 or (
+        hasattr(audio, "dtype") and audio.dtype == jnp.int16
+    )
+    audio = jnp.asarray(audio, dtype=jnp.int16 if is_i16 else jnp.float32)
     squeeze = audio.ndim == 1
     if squeeze:
         audio = audio[None]

@@ -19,6 +19,7 @@ from typing import TYPE_CHECKING, List, Optional, Tuple, Union
 
 import numpy as np
 
+import jax as _jax
 import jax.numpy as jnp
 
 from olmoasr_tpu.audio import (
@@ -68,6 +69,7 @@ class _FileState:
         hallucination_silence_threshold: Optional[float],
         language: str,
         precomputed_mel: Optional[np.ndarray] = None,
+        mel_frames: Optional[int] = None,
     ):
         self.model = model
         self.tokenizer = tokenizer
@@ -87,15 +89,22 @@ class _FileState:
         # ``precomputed_mel`` lets transcribe_many batch the log-mel of many
         # files into one device call (the per-file STFT was measured at
         # ~0.9s/2min-file — serial, it dominated batched long-form).
-        if precomputed_mel is not None:
+        if mel_frames is not None:
+            # stack-backed (transcribe_many): the mel lives in the shared
+            # device stack; windows arrive through the batched round gather,
+            # so this state never slices a mel itself
+            self.mel = None
+            self.content_frames = mel_frames - N_FRAMES
+        elif precomputed_mel is not None:
             # may be a DEVICE array (transcribe_many keeps the batched mel on
             # chip; pulling it to host + re-uploading windows costs ~20MB/file
             # of round-trips through the axon tunnel)
             self.mel = precomputed_mel
+            self.content_frames = self.mel.shape[-1] - N_FRAMES
         else:
             mel = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
             self.mel = np.asarray(mel)
-        self.content_frames = self.mel.shape[-1] - N_FRAMES
+            self.content_frames = self.mel.shape[-1] - N_FRAMES
         self.content_duration = float(
             self.content_frames * HOP_LENGTH / SAMPLE_RATE
         )
@@ -137,8 +146,12 @@ class _FileState:
 
     # -- window emission -----------------------------------------------------
 
-    def current_window(self) -> Optional[np.ndarray]:
-        """The next 30s mel window (advancing clip bookkeeping), or None."""
+    def advance_window(self) -> Optional[Tuple[int, int]]:
+        """Advance clip bookkeeping; return (seek, segment_size) for the next
+        30s window, or None when the file is exhausted. Does NOT slice the
+        mel — transcribe_many gathers all active files' windows in ONE device
+        call (per-file device slices cost a dispatch each through the remote
+        tunnel, measured ~2s/round at batch 64)."""
         while self.clip_idx < len(self.seek_clips):
             seek_clip_start, seek_clip_end = self.seek_clips[self.clip_idx]
             if self.seek < seek_clip_start:
@@ -152,21 +165,29 @@ class _FileState:
                 N_FRAMES, self.content_frames - self.seek,
                 seek_clip_end - self.seek,
             )
-            mel_segment = self.mel[:, self.seek : self.seek + segment_size]
-            if isinstance(mel_segment, np.ndarray):
-                mel_segment = pad_or_trim(mel_segment, N_FRAMES, axis=-1).astype(
-                    np.float32
-                )
-            else:  # device slice: pad on device, no host round-trip
-                if segment_size < N_FRAMES:
-                    mel_segment = jnp.pad(
-                        mel_segment, ((0, 0), (0, N_FRAMES - segment_size))
-                    )
-                mel_segment = mel_segment.astype(jnp.float32)
             self._segment_size = segment_size
-            self._mel_segment = mel_segment
-            return mel_segment
+            return self.seek, segment_size
         return None
+
+    def current_window(self) -> Optional[np.ndarray]:
+        """The next 30s mel window (advancing clip bookkeeping), or None."""
+        spec = self.advance_window()
+        if spec is None:
+            return None
+        seek, segment_size = spec
+        mel_segment = self.mel[:, seek : seek + segment_size]
+        if isinstance(mel_segment, np.ndarray):
+            mel_segment = pad_or_trim(mel_segment, N_FRAMES, axis=-1).astype(
+                np.float32
+            )
+        else:  # device slice: pad on device, no host round-trip
+            if segment_size < N_FRAMES:
+                mel_segment = jnp.pad(
+                    mel_segment, ((0, 0), (0, N_FRAMES - segment_size))
+                )
+            mel_segment = mel_segment.astype(jnp.float32)
+        self._mel_segment = mel_segment
+        return mel_segment
 
     @property
     def done(self) -> bool:
@@ -453,6 +474,24 @@ def _needs_fallback(
     return needs
 
 
+@_jax.jit
+def _gather_windows(stack, rows, seeks, seg_sizes):
+    """ONE device call producing (n, 80, N_FRAMES) windows from the stacked
+    per-file mels: window j = stack[rows[j], :, seeks[j]:seeks[j]+3000] with
+    frames >= seg_sizes[j] zeroed (the reference's pad_or_trim zero padding).
+    Replaces per-file device slices — each was a separate dispatch through
+    the remote tunnel (~2s/round at batch 64, perf/profile_longform.py)."""
+
+    def one(r, s, z):
+        w = _jax.lax.dynamic_slice(
+            stack, (r, 0, s), (1, stack.shape[1], N_FRAMES)
+        )[0]
+        mask = jnp.arange(N_FRAMES) < z
+        return jnp.where(mask[None, :], w.astype(jnp.float32), 0.0)
+
+    return _jax.vmap(one)(rows, seeks, seg_sizes)
+
+
 def _decode_batch_with_fallback(
     model: "OLMoASR",
     windows: List[np.ndarray],
@@ -469,7 +508,8 @@ def _decode_batch_with_fallback(
     temperature. ``pad_to`` pads every batch to a fixed row count so one XLA
     program serves all rounds (3-10 min per fresh shape on the remote tunnel).
     """
-    n = len(windows)
+    stacked_input = not isinstance(windows, (list, tuple))
+    n = int(windows.shape[0]) if stacked_input else len(windows)
     results: List[Optional[DecodingResult]] = [None] * n
     pending = list(range(n))
     for ti, t in enumerate(temperatures):
@@ -483,11 +523,19 @@ def _decode_batch_with_fallback(
             kwargs.pop("best_of", None)
         options = DecodingOptions(**kwargs, temperature=t)
 
-        batch = [windows[i] for i in pending]
-        n_real = len(batch)
-        if pad_to and n_real < pad_to:
-            batch.extend([batch[-1]] * (pad_to - n_real))
-        out = model.decode(jnp.stack(batch), options)
+        n_real = len(pending)
+        if stacked_input:
+            # one take op (pad rows repeat the last pending window)
+            idx = pending + [pending[-1]] * (max(pad_to or 0, n_real) - n_real)
+            batch = windows if (idx == list(range(n))) else windows[
+                jnp.asarray(idx, jnp.int32)
+            ]
+            out = model.decode(batch, options)
+        else:
+            batch = [windows[i] for i in pending]
+            if pad_to and n_real < pad_to:
+                batch.extend([batch[-1]] * (pad_to - n_real))
+            out = model.decode(jnp.stack(batch), options)
         if not isinstance(out, list):
             out = [out]
         out = out[:n_real]
@@ -601,24 +649,55 @@ def transcribe_many(
         i for i, w in enumerate(wavs)
         if w.ndim == 1 and len(w) <= MAX_FILE_S * SAMPLE_RATE
     ]
+    mel_stack = None  # (n_batchable, 80, F) device array; one window-gather
+    stack_row = {}  # file index -> row in mel_stack
+    mel_frames = {}  # file index -> valid frame count (content + N_FRAMES)
     if len(batchable) > 1:
         max_len = max(len(wavs[i]) for i in batchable)
         max_len = -(-max_len // N_SAMPLES) * N_SAMPLES  # round up to 30s
         per_group = max(int(GROUP_BUDGET // max_len), 1)
+        group_mels = []
+        # PCM-16 transport: real audio is 16-bit PCM (load_audio returns
+        # int16/32768), so when the scaled values round-trip exactly we
+        # upload int16 — HALF the host->device bytes, which is the long-form
+        # bottleneck on a remote/tunneled chip (measured ~14MB/s; 64x2min
+        # f32 = 620MB). Bit-exact: the /32768 rescale happens on device.
+        # One pass per file, written straight into the int16 buffer (full-
+        # array round/compare passes cost ~2s on a 1-core host).
+        def to_pcm16(w: np.ndarray) -> Optional[np.ndarray]:
+            s = w * 32768.0
+            r = np.rint(s)
+            if np.abs(r).max(initial=0.0) <= 32767 and np.array_equal(r, s):
+                return r.astype(np.int16)
+            return None
+
+        pcms = {i: to_pcm16(wavs[i]) for i in batchable}
+        all_pcm = all(p is not None for p in pcms.values())
         for g in range(0, len(batchable), per_group):
             group = batchable[g : g + per_group]
-            stacked = np.zeros((len(group), max_len), np.float32)
+            dtype = np.int16 if all_pcm else np.float32
+            stacked = np.zeros((len(group), max_len), dtype)
             for j, i in enumerate(group):
-                stacked[j, : len(wavs[i])] = wavs[i]
+                src = pcms[i] if all_pcm else wavs[i]
+                stacked[j, : len(src)] = src
             batch_mel = log_mel_spectrogram(
                 stacked, model.dims.n_mels, padding=N_SAMPLES
-            )  # stays on device; _FileState slices windows on device
+            )  # stays on device; windows are gathered in one call per round
+            group_mels.append(batch_mel)
             for j, i in enumerate(group):
-                n_frames = len(wavs[i]) // HOP_LENGTH + N_FRAMES
-                mels[i] = batch_mel[j, :, :n_frames]
+                # no per-file mel slice: each would be an eager device
+                # dispatch (64 tunnel round-trips at setup); states carry the
+                # frame count and windows come from the round gather
+                stack_row[i] = g + j
+                mel_frames[i] = len(wavs[i]) // HOP_LENGTH + N_FRAMES
+        # all groups share max_len, so frame counts match — one concat
+        mel_stack = (
+            group_mels[0] if len(group_mels) == 1
+            else jnp.concatenate(group_mels, axis=0)
+        )
 
     states: List[_FileState] = []
-    for audio, wav, mel in zip(audios, wavs, mels):
+    for fi, (audio, wav, mel) in enumerate(zip(audios, wavs, mels)):
         opts = dict(decode_options)
         language = _resolve_language(model, wav, opts, verbose)
         tokenizer = get_tokenizer(
@@ -643,21 +722,44 @@ def transcribe_many(
                 hallucination_silence_threshold=hallucination_silence_threshold,
                 language=language,
                 precomputed_mel=mel,
+                mel_frames=mel_frames.get(fi),
             )
         )
 
     # round-based: each round batches the current window of up to batch_size
-    # active files; languages may differ per file, so group by language
+    # active files; languages may differ per file, so group by language.
+    # Stack-backed files advance bookkeeping only and their windows are
+    # gathered in ONE device call (_gather_windows); others slice per file.
     active = list(range(len(states)))
     while active:
         round_ids = active[:batch_size]
-        windows, ids = [], []
+        specs, windows, ids = [], [], []
         for i in round_ids:
-            w = states[i].current_window()
-            if w is None:
-                continue
-            windows.append(w)
+            if i in stack_row:
+                spec = states[i].advance_window()
+                if spec is None:
+                    continue
+                specs.append((stack_row[i], *spec))
+                windows.append(None)  # filled from the gathered batch below
+            else:
+                w = states[i].current_window()
+                if w is None:
+                    continue
+                windows.append(w)
             ids.append(i)
+        if specs:
+            n_specs = len(specs)
+            # fixed gather width -> one XLA program for every round
+            padded = specs + [specs[-1]] * (batch_size - n_specs)
+            rows, seeks, sizes = (
+                jnp.asarray(c, jnp.int32) for c in zip(*padded)
+            )
+            gathered = _gather_windows(mel_stack, rows, seeks, sizes)[:n_specs]
+            g = 0
+            for j, w in enumerate(windows):
+                if w is None:
+                    windows[j] = ("gathered", g)
+                    g += 1
         if windows:
             by_lang: dict = {}
             for w, i in zip(windows, ids):
@@ -666,14 +768,27 @@ def transcribe_many(
                 by_lang[states[i].language][1].append(i)
             for lang, (ws, iids) in by_lang.items():
                 opts = {**decode_options, "language": lang}
+                if all(isinstance(w, tuple) for w in ws):
+                    g_idx = [w[1] for w in ws]
+                    ws_arg = (
+                        gathered if g_idx == list(range(gathered.shape[0]))
+                        else gathered[jnp.asarray(g_idx, jnp.int32)]
+                    )
+                else:  # mixed round: materialize the gathered rows
+                    ws_arg = [
+                        gathered[w[1]] if isinstance(w, tuple) else w for w in ws
+                    ]
                 results = _decode_batch_with_fallback(
-                    model, ws, temperatures, opts,
+                    model, ws_arg, temperatures, opts,
                     compression_ratio_threshold=compression_ratio_threshold,
                     logprob_threshold=logprob_threshold,
                     no_speech_threshold=no_speech_threshold,
                     pad_to=batch_size if len(states) > 1 else None,
                 )
-                for i, r in zip(iids, results):
+                for k, (i, r) in enumerate(zip(iids, results)):
+                    if word_timestamps and isinstance(ws[k], tuple):
+                        # lazy row slice, only when the DTW path needs it
+                        states[i]._mel_segment = gathered[ws[k][1]]
                     states[i].consume(r)
         active = [i for i in active if not states[i].done]
 

@@ -82,6 +82,18 @@ def test_np_and_jax_agree():
     np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3)
 
 
+def test_dft_matmul_matches_fft():
+    """The MXU DFT-matmul STFT (the TPU default — XLA's TPU FFT for
+    400-point frames measured ~1000x off speed-of-light) == jnp.fft.rfft."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    wav = jnp.asarray(rng.standard_normal((2, 32000)).astype(np.float32))
+    a = np.asarray(audio._log_mel_jax(wav, 80, 480000, use_fft=True))
+    b = np.asarray(audio._log_mel_jax(wav, 80, 480000, use_fft=False))
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3)
+
+
 def test_load_audio_wav_formats(tmp_path):
     import scipy.io.wavfile as wavfile
 
