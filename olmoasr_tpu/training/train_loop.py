@@ -288,12 +288,12 @@ def main(
     return final_metrics
 
 
-if __name__ == "__main__":
+def build_cli_parser():
+    """Fire-style CLI from the main() signature (the reference uses
+    python-fire; train_timestamps.py:2515-2517)."""
     import argparse
     import inspect
 
-    # Fire-style CLI from the main() signature (the reference uses python-fire;
-    # train_timestamps.py:2515-2517)
     sig = inspect.signature(main)
     parser = argparse.ArgumentParser()
     for name, p in sig.parameters.items():
@@ -307,7 +307,21 @@ if __name__ == "__main__":
                 default=p.default,
             )
         else:
-            t = type(p.default) if p.default is not None else str
+            if p.default is not None:
+                t = type(p.default)
+            else:
+                # Optional[...] defaults: recover the inner type from the
+                # annotation so e.g. --max_steps_this_run parses as int
+                # (a str here made the step-limit comparison crash)
+                ann = str(p.annotation)
+                t = (
+                    int if "int" in ann
+                    else float if "float" in ann
+                    else str
+                )
             parser.add_argument(f"--{name}", type=t, default=p.default)
-    args = vars(parser.parse_args())
-    print(main(**args))
+    return parser
+
+
+if __name__ == "__main__":
+    print(main(**vars(build_cli_parser().parse_args())))

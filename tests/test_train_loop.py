@@ -162,3 +162,20 @@ def test_sync_eval_best_gating(shard_dir, tmp_path, monkeypatch):
     )
     assert metrics["eval/wer"] == 0.3
     assert os.path.isfile(tmp_path / "ckpts_sync" / "sync" / "best.npz")
+
+
+def test_cli_parser_optional_int_types():
+    """Signature-derived CLI: Optional[int]/[float] args must parse to their
+    annotated types, not str (a str max_steps_this_run crashed the step-limit
+    compare on the first real-chip smoke)."""
+    from olmoasr_tpu.training.train_loop import build_cli_parser
+
+    args = build_cli_parser().parse_args(
+        ["--max_steps_this_run", "3", "--eval_max_samples", "7",
+         "--micro_batch_size", "4", "--remat", "false"]
+    )
+    assert args.max_steps_this_run == 3 and isinstance(args.max_steps_this_run, int)
+    assert args.eval_max_samples == 7 and isinstance(args.eval_max_samples, int)
+    assert args.micro_batch_size == 4
+    assert args.remat is False
+    assert args.profile_dir is None  # Optional[str] stays None by default
