@@ -767,25 +767,48 @@ def decode_step(
                 self_attend_decode,
             )
 
-            # batched fused LN+QKV (one launch; same grid=(1,) pattern as
-            # mlp_block — per-ROW fusion measured slower, 734 vs 778 RTFx)
-            qkv = ln_matmul(
-                x, blocks["attn_ln_g"], blocks["attn_ln_b"], qkv_w, qkv_b, li
-            )
-            q = qkv[..., :D]
-            k_new = qkv[..., D : 2 * D]
-            v_new = qkv[..., 2 * D :]
-            # attention-only kernel over the full stacked rings
-            attn = self_attend_decode(
-                q, cache.self_k, cache.self_v, k_new, v_new, offset, li,
-                cache.self_k_scale, cache.self_v_scale,
-                n_head=dims.n_text_head,
-                # rows=8 measured best at B=128 (1356 vs 1317 RTFx; 16 blows
-                # VMEM); falls back to 1 when B isn't divisible
-                rows=int(os.environ.get("OLMOASR_SELF_ROWS", "8")),
-                ht=os.environ.get("OLMOASR_SELF_HT", "0") == "1",
-            ).astype(x.dtype)
-            x = matmul_residual(attn, x, blocks["attn_o_w"], blocks["attn_o_b"], li)
+            if (
+                os.environ.get("OLMOASR_SELF_BLOCK", "0") == "1"
+                and not self_quant
+            ):
+                # whole self sub-block in ONE kernel (LN+QKV+attention+
+                # o-proj+residual; r1's per-row version lost at B=32 with f32
+                # dots — re-benched with the modern math + multi-row)
+                from olmoasr_tpu.ops.attention import self_block_decode
+
+                x, k_new, v_new = self_block_decode(
+                    x, blocks["attn_ln_g"], blocks["attn_ln_b"], qkv_w, qkv_b,
+                    blocks["attn_o_w"], blocks["attn_o_b"],
+                    cache.self_k, cache.self_v, offset, li,
+                    n_head=dims.n_text_head,
+                    rows=int(os.environ.get("OLMOASR_SELF_ROWS", "8")),
+                )
+                x = x.astype(dtype)
+                k_new = k_new.astype(dtype)
+                v_new = v_new.astype(dtype)
+            else:
+                # batched fused LN+QKV (one launch; same grid=(1,) pattern as
+                # mlp_block)
+                qkv = ln_matmul(
+                    x, blocks["attn_ln_g"], blocks["attn_ln_b"], qkv_w, qkv_b,
+                    li,
+                )
+                q = qkv[..., :D]
+                k_new = qkv[..., D : 2 * D]
+                v_new = qkv[..., 2 * D :]
+                # attention-only kernel over the full stacked rings
+                attn = self_attend_decode(
+                    q, cache.self_k, cache.self_v, k_new, v_new, offset, li,
+                    cache.self_k_scale, cache.self_v_scale,
+                    n_head=dims.n_text_head,
+                    # rows=8 measured best at B=128 (1356 vs 1317 RTFx; 16
+                    # blows VMEM); falls back to 1 when B isn't divisible
+                    rows=int(os.environ.get("OLMOASR_SELF_ROWS", "8")),
+                    ht=os.environ.get("OLMOASR_SELF_HT", "0") == "1",
+                ).astype(x.dtype)
+                x = matmul_residual(
+                    attn, x, blocks["attn_o_w"], blocks["attn_o_b"], li
+                )
             if not use_pallas_cross_block:
                 qc = ln_matmul(
                     x, blocks["cross_ln_g"], blocks["cross_ln_b"],

@@ -374,48 +374,64 @@ def matmul_residual(
 
 def _self_block_kernel(
     s_ref,  # scalar prefetch (2,) int32: [layer_idx, offset]
-    x_ref,  # (1, 1, D) residual stream, this batch row
+    x_ref,  # (rows, 1, D) residual stream, this program's batch rows
     g_ref,  # (1, 1, D) attn LN gain
     b_ref,  # (1, 1, D) attn LN bias
     wqkv_ref,  # (1, D, 3D)
     bqkv_ref,  # (1, 1, 3D)
     wo_ref,  # (1, D, D)
     bo_ref,  # (1, 1, D)
-    k_ref,  # (1, 1, C, D) ring block
-    v_ref,  # (1, 1, C, D)
-    o_ref,  # (1, 1, D) new residual stream
-    kn_ref,  # (1, 1, D) new key out
-    vn_ref,  # (1, 1, D) new value out
+    k_ref,  # (1, rows, C, D) ring block
+    v_ref,  # (1, rows, C, D)
+    o_ref,  # (rows, 1, D) new residual stream
+    kn_ref,  # (rows, 1, D) new key out
+    vn_ref,  # (rows, 1, D) new value out
     *,
     n_head: int,
+    rows: int = 1,
 ):
+    for r in range(rows):
+        _self_block_body(
+            s_ref, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+            k_ref, v_ref, o_ref, kn_ref, vn_ref, n_head=n_head, r=r,
+        )
+
+
+def _self_block_body(
+    s_ref, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    k_ref, v_ref, o_ref, kn_ref, vn_ref, *, n_head, r,
+):
+    """Modernized fused self sub-block (bf16 dots + transposed value
+    contraction — the r1 version used f32 MXU passes and the expand-multiply
+    reduction, and measured 734 vs 778 at B=32; re-benched with the current
+    math at B=128)."""
     _, _, C, D = k_ref.shape
     dh = D // n_head
     scale = dh ** -0.25
     offset = s_ref[1]
+    dd = _dot_dtype(x_ref.dtype)
 
-    x = x_ref[0, 0, :].astype(jnp.float32)
+    x = x_ref[r, 0, :].astype(jnp.float32)
     mean = jnp.mean(x)
     var = jnp.mean((x - mean) ** 2)
     h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
     h = h * g_ref[0, 0, :].astype(jnp.float32) + b_ref[0, 0, :].astype(jnp.float32)
 
     qkv = jnp.dot(
-        h[None, :].astype(wqkv_ref.dtype), wqkv_ref[0, :, :],
+        h[None, :].astype(dd), wqkv_ref[0, :, :].astype(dd),
         preferred_element_type=jnp.float32,
     )[0] + bqkv_ref[0, 0, :].astype(jnp.float32)  # (3D,)
     q = qkv[:D] * (scale * scale)
     kn = qkv[D : 2 * D]
     vn = qkv[2 * D :]
-    kn_ref[0, 0, :] = kn.astype(kn_ref.dtype)
-    vn_ref[0, 0, :] = vn.astype(vn_ref.dtype)
+    kn_ref[r, 0, :] = kn.astype(kn_ref.dtype)
+    vn_ref[r, 0, :] = vn.astype(vn_ref.dtype)
 
     d_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 0)
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
     qm = jnp.where(d_ids // dh == h_ids, q[:, None], 0.0)  # (D, H)
 
-    k = k_ref[0, 0, :, :].astype(jnp.float32)
-    logits = jnp.dot(k, qm, preferred_element_type=jnp.float32)  # (C, H)
+    logits = _qk_logits(k_ref[0, r, :, :], qm, dd)  # (C, H)
     pos = jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 0)
     logits = jnp.where(pos < offset, logits, -jnp.inf)
     logit_new = jnp.sum(kn[:, None] * qm, axis=0, keepdims=True)  # (1, H)
@@ -424,24 +440,28 @@ def _self_block_kernel(
     e_old = jnp.where(pos < offset, jnp.exp(logits - mx), 0.0)
     e_new = jnp.exp(logit_new - mx)
     denom = jnp.sum(e_old, axis=0, keepdims=True) + e_new
-    w_old = e_old / denom
-    w_new = e_new / denom
+    w_old = e_old / denom  # (C, H)
+    w_new = e_new / denom  # (1, H)
 
-    expand = jnp.where(h_ids.T == d_ids.T // dh, 1.0, 0.0)  # (H, D)
-    w_full = jnp.dot(w_old, expand, preferred_element_type=jnp.float32)  # (C, D)
-    v = v_ref[0, 0, :, :].astype(jnp.float32)
-    attn = jnp.sum(w_full * v, axis=0)
-    wn_full = jnp.dot(w_new, expand, preferred_element_type=jnp.float32)
-    attn = attn + wn_full[0] * vn
+    # transposed contraction + head-row select (see _self_decode_body)
+    out2 = jax.lax.dot_general(
+        w_old.astype(dd), v_ref[0, r, :, :].astype(dd),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H, D)
+    hsel = (h_ids.T == d_ids.T // dh).astype(jnp.float32)  # (H, D)
+    attn = jnp.sum(out2 * hsel, axis=0)  # (D,)
+    wn_d = jnp.sum(hsel * w_new.T, axis=0)  # (D,): w_new[d//dh]
+    attn = attn + wn_d * vn
 
     out = jnp.dot(
-        attn[None, :].astype(wo_ref.dtype), wo_ref[0, :, :],
+        attn[None, :].astype(dd), wo_ref[0, :, :].astype(dd),
         preferred_element_type=jnp.float32,
     )[0] + bo_ref[0, 0, :].astype(jnp.float32)
-    o_ref[0, 0, :] = (x + out).astype(o_ref.dtype)
+    o_ref[r, 0, :] = (x + out).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_head", "rows", "interpret"))
 def self_block_decode(
     x: jax.Array,  # (B, 1, D) residual stream
     ln_g: jax.Array,  # (L, D)
@@ -456,6 +476,7 @@ def self_block_decode(
     layer_idx: jax.Array,
     *,
     n_head: int,
+    rows: int = 1,
     interpret: bool = False,
 ):
     """Whole decode-step self-attention sub-block in ONE kernel per layer:
@@ -466,6 +487,8 @@ def self_block_decode(
     B, S, D = x.shape
     assert S == 1
     L, _, C, _ = k_ring.shape
+    if rows <= 0 or B % rows != 0:
+        rows = 1
     scalars = jnp.stack([layer_idx.astype(jnp.int32), offset.astype(jnp.int32)])
 
     row3 = lambda b, s: (b, 0, 0)
@@ -473,26 +496,26 @@ def self_block_decode(
     ring = lambda b, s: (s[0], b, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
+        grid=(B // rows,),
         in_specs=[
-            pl.BlockSpec((1, 1, D), row3, memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),  # x
             pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, 3 * D), lay3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 3 * D), lay3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, D), lay3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C, D), ring, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C, D), ring, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, C, D), ring, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, C, D), ring, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, D), row3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), row3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),
         ),
     )
     new_x, k_new, v_new = pl.pallas_call(
-        functools.partial(_self_block_kernel, n_head=n_head),
+        functools.partial(_self_block_kernel, n_head=n_head, rows=rows),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, 1, D), x.dtype),
