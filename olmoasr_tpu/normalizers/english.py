@@ -13,6 +13,15 @@ WER number in the reference's tables). Three stages, matching the original:
      (``OLMOASR_SPELLING_JSON``) for exact parity when the asset is available.
   3. ``EnglishTextNormalizer`` — casing, bracket/parenthesis removal, filler
      words, contractions, symbol cleanup.
+
+Attribution: the ``EnglishNumberNormalizer`` state machine and the
+``EnglishTextNormalizer`` contraction/abbreviation rule tables in this file
+are ported from openai-whisper (``whisper/normalizers/english.py``),
+Copyright (c) 2022 OpenAI, MIT License — see the repository-root ``NOTICES``
+file. These rules are the behavioral spec behind every published WER number;
+reimplementing them differently would be a parity bug, not an improvement.
+The spelling-normalizer section is an original reconstruction
+(``build_spelling.py``).
 """
 
 from __future__ import annotations

@@ -76,6 +76,16 @@ def flash_mha(
     needs no collectives).
     """
     mesh = _FLASH_MESH
+    if mesh is not None:
+        # a registered mesh whose devices are no longer live (backend
+        # reinit, tests switching platforms) must not capture this trace
+        try:
+            first = next(iter(mesh.devices.flat))
+            live = set(jax.devices(first.platform))
+        except (RuntimeError, StopIteration):
+            live = set()
+        if not set(mesh.devices.flat) <= live:
+            mesh = None
     B = q.shape[0]
     if mesh is not None and mesh.size > 1 and B % mesh.size == 0:
         from jax.experimental.shard_map import shard_map
@@ -177,7 +187,7 @@ def _flash_mha_local(
             block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1,
             block_q_major_dkv=bwd_q, block_k_major_dkv=bwd_k,
             block_k_dkv=bwd_k, block_q_dkv=bwd_q,
-            block_k_major_dq=bwd_q, block_k_dq=bwd_k, block_q_dq=bwd_q,
+            block_k_major_dq=bwd_k, block_k_dq=bwd_k, block_q_dq=bwd_q,
         ),
     )  # (B, H, Tq_pad, dh)
     out = out.transpose(0, 2, 1, 3).reshape(B, Tq_pad, D)

@@ -71,6 +71,7 @@ class BatchingService:
         self._queue: "queue.Queue" = queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._started = False
+        self._closed = False
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_jobs": 0}
 
@@ -84,9 +85,28 @@ class BatchingService:
         return self
 
     def stop(self) -> None:
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
         if self._started:
             self._queue.put(_SENTINEL)
             self._worker.join(timeout=30)
+        # jobs enqueued behind the sentinel (or while the worker was dying)
+        # would otherwise hang their callers in .result() forever
+        self._drain_queue(RuntimeError("BatchingService stopped"))
+
+    def _drain_queue(self, exc: Exception) -> None:
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is _SENTINEL:
+                continue
+            fut = item[2]
+            if not fut.done():
+                fut.set_exception(exc)
 
     def __enter__(self):
         return self.start()
@@ -103,6 +123,8 @@ class BatchingService:
         bad = set(options) - ALLOWED_OPTIONS
         if bad:
             raise ValueError(f"unknown decode options: {sorted(bad)}")
+        if self._closed:
+            raise RuntimeError("BatchingService stopped; submit() rejected")
         fut: "Future" = Future()
         merged = {**self.default_options, **options}
         self._queue.put((audio, merged, fut))
@@ -144,6 +166,7 @@ class BatchingService:
         while True:
             jobs = self._collect()
             if not jobs:
+                self._drain_queue(RuntimeError("BatchingService stopped"))
                 return
             # group by options signature: different options cannot share a
             # decode batch (different filter configs / fallback ladders)

@@ -149,141 +149,149 @@ def main(
     step_fn = train_mod.make_sharded_train_step(
         dims, config, optimizer, mesh, state_shardings
     )
+    try:
 
-    shard_paths = sorted(glob.glob(train_shards))
-    samples = load_jsonl_samples(shard_paths) if shard_paths else []
-    if not samples:
-        raise FileNotFoundError(f"no training samples under {train_shards}")
-    dataset = AudioTextDataset(samples, dims.n_text_ctx, seed=seed)
-    loader = BatchLoader(
-        dataset,
-        micro_batch_size=micro_batch_size * n_devices,
-        accum_steps=accum_steps,
-        seed=seed,
-        shard_id=_pindex(),
-        num_shards=_pcount(),
-        num_workers=min(8, os.cpu_count() or 1),
-    )
+        shard_paths = sorted(glob.glob(train_shards))
+        samples = load_jsonl_samples(shard_paths) if shard_paths else []
+        if not samples:
+            raise FileNotFoundError(f"no training samples under {train_shards}")
+        dataset = AudioTextDataset(samples, dims.n_text_ctx, seed=seed)
+        loader = BatchLoader(
+            dataset,
+            micro_batch_size=micro_batch_size * n_devices,
+            accum_steps=accum_steps,
+            seed=seed,
+            shard_id=_pindex(),
+            num_shards=_pcount(),
+            num_workers=min(8, os.cpu_count() or 1),
+        )
 
-    logger = MetricsLogger(exp_name)
-    batch_audio_s = micro_batch_size * n_devices * accum_steps * 30.0
-    timer = StepTimer(batch_audio_s)
-    eval_proc: Optional[subprocess.Popen] = None
+        logger = MetricsLogger(exp_name)
+        batch_audio_s = micro_batch_size * n_devices * accum_steps * 30.0
+        timer = StepTimer(batch_audio_s)
+        eval_proc: Optional[subprocess.Popen] = None
 
-    global_step = start_step
-    epoch = int(meta.get("epoch", 0))
-    final_metrics: Dict[str, Any] = {}
-    stop = False
+        global_step = start_step
+        epoch = int(meta.get("epoch", 0))
+        final_metrics: Dict[str, Any] = {}
+        stop = False
 
-    while global_step < train_steps and not stop:
-        loader.set_epoch(epoch)
-        timer.start("dataloader")
-        for batch in loader:
-            timer.stop("dataloader")
-            # device-level tracing (replaces the reference's wall-clock-only
-            # instrumentation; torch-tb-profiler was declared but never used)
-            if profile_dir and global_step == start_step + profile_steps[0]:
-                jax.profiler.start_trace(profile_dir)
-            if profile_dir and global_step == start_step + profile_steps[1]:
-                jax.profiler.stop_trace()
-            timer.start("step")
-            state, metrics = step_fn(
-                state, {k: jnp.asarray(v) for k, v in batch.items()}
-            )
-            # NO per-step host fetch: float(loss) every step forces a device
-            # sync that serializes dispatch (VERDICT r1 weak #4). Metrics are
-            # fetched (and NaN-checked) once per log window; dispatch stays
-            # async in between.
-            timer.stop("step")
-            global_step += 1
-
-            if global_step % log_every == 0:
-                loss = float(metrics["loss"])  # device sync, once per window
-                if not np.isfinite(loss):
-                    logger.alert(
-                        "NaN loss", f"step {global_step}: loss={loss}"
-                    )  # train_timestamps.py:1484-1490
-                final_metrics = {
-                    "train/loss": loss,
-                    "train/accuracy": float(metrics["accuracy"]),
-                    "train/grad_norm": float(metrics["grad_norm"]),
-                    "train/lr": float(metrics["lr"]),
-                    "train/epoch": epoch,
-                    **timer.metrics(),
-                }
-                logger.log(final_metrics, step=global_step)
-
-            if ckpt_every and global_step % ckpt_every == 0:
-                # orbax is multihost-aware: ALL processes call save (it
-                # barriers internally; rank-gating would deadlock)
-                manager.save(
-                    global_step, jax.device_get(state), dims,
-                    epoch=epoch, best_eval_wer=best_eval_wer,
-                )
-
-            if (
-                eval_every
-                and global_step % eval_every == 0
-                and _pindex() == 0
-            ):
-                if eval_mode == "sync":
-                    # reference evaluate(): in-loop model.decode WER with
-                    # best-checkpoint gating (train_timestamps.py:1835-2089).
-                    # Multihost: device_get on globally-sharded params is not
-                    # addressable from one process — use async eval there.
-                    wer = None
-                    if _pcount() > 1:
-                        logger.alert(
-                            "sync eval unsupported multihost",
-                            "use eval_mode='async' (subprocess) instead",
-                        )
-                    else:
-                        try:
-                            wer = run_sync_eval(
-                                state, dims, eval_set, eval_dir,
-                                max_samples=eval_max_samples,
-                            )
-                        except Exception as e:  # missing eval data must
-                            logger.alert("sync eval failed", str(e))  # not kill
-                    if wer is not None:
-                        logger.log({"eval/wer": wer}, step=global_step)
-                        final_metrics["eval/wer"] = wer
-                        if best_eval_wer is None or wer < best_eval_wer:
-                            best_eval_wer = wer
-                            ckpt_mod.save_eval_checkpoint(
-                                os.path.join(ckpt_dir, exp_name, "best.npz"),
-                                jax.device_get(state), dims,
-                            )
-                else:
-                    eval_ckpt = os.path.join(
-                        ckpt_dir, exp_name, f"eval_{global_step}.npz"
-                    )
-                    ckpt_mod.save_eval_checkpoint(
-                        eval_ckpt, jax.device_get(state), dims
-                    )
-                    if eval_proc is None or eval_proc.poll() is not None:
-                        eval_proc = run_async_eval(
-                            eval_ckpt, eval_set, eval_dir,
-                            os.path.join("eval_results", exp_name),
-                        )
-
-            if max_steps_this_run and (global_step - start_step) >= max_steps_this_run:
-                stop = True
-                break
-            if global_step >= train_steps:
-                stop = True
-                break
+        while global_step < train_steps and not stop:
+            loader.set_epoch(epoch)
             timer.start("dataloader")
-        else:
-            epoch += 1
-            continue
+            for batch in loader:
+                timer.stop("dataloader")
+                # device-level tracing (replaces the reference's wall-clock-only
+                # instrumentation; torch-tb-profiler was declared but never used)
+                if profile_dir and global_step == start_step + profile_steps[0]:
+                    jax.profiler.start_trace(profile_dir)
+                if profile_dir and global_step == start_step + profile_steps[1]:
+                    jax.profiler.stop_trace()
+                timer.start("step")
+                state, metrics = step_fn(
+                    state, {k: jnp.asarray(v) for k, v in batch.items()}
+                )
+                # NO per-step host fetch: float(loss) every step forces a device
+                # sync that serializes dispatch (VERDICT r1 weak #4). Metrics are
+                # fetched (and NaN-checked) once per log window; dispatch stays
+                # async in between.
+                timer.stop("step")
+                global_step += 1
 
-    manager.save(
-        global_step, jax.device_get(state), dims,
-        epoch=epoch, best_eval_wer=best_eval_wer, wait=True,
-    )
-    manager.close()
-    logger.close()
+                if global_step % log_every == 0:
+                    loss = float(metrics["loss"])  # device sync, once per window
+                    if not np.isfinite(loss):
+                        logger.alert(
+                            "NaN loss", f"step {global_step}: loss={loss}"
+                        )  # train_timestamps.py:1484-1490
+                    final_metrics = {
+                        "train/loss": loss,
+                        "train/accuracy": float(metrics["accuracy"]),
+                        "train/grad_norm": float(metrics["grad_norm"]),
+                        "train/lr": float(metrics["lr"]),
+                        "train/epoch": epoch,
+                        **timer.metrics(),
+                    }
+                    logger.log(final_metrics, step=global_step)
+
+                if ckpt_every and global_step % ckpt_every == 0:
+                    # orbax is multihost-aware: ALL processes call save (it
+                    # barriers internally; rank-gating would deadlock)
+                    manager.save(
+                        global_step, jax.device_get(state), dims,
+                        epoch=epoch, best_eval_wer=best_eval_wer,
+                    )
+
+                if (
+                    eval_every
+                    and global_step % eval_every == 0
+                    and _pindex() == 0
+                ):
+                    if eval_mode == "sync":
+                        # reference evaluate(): in-loop model.decode WER with
+                        # best-checkpoint gating (train_timestamps.py:1835-2089).
+                        # Multihost: device_get on globally-sharded params is not
+                        # addressable from one process — use async eval there.
+                        wer = None
+                        if _pcount() > 1:
+                            logger.alert(
+                                "sync eval unsupported multihost",
+                                "use eval_mode='async' (subprocess) instead",
+                            )
+                        else:
+                            try:
+                                wer = run_sync_eval(
+                                    state, dims, eval_set, eval_dir,
+                                    max_samples=eval_max_samples,
+                                )
+                            except Exception as e:  # missing eval data must
+                                logger.alert("sync eval failed", str(e))  # not kill
+                        if wer is not None:
+                            logger.log({"eval/wer": wer}, step=global_step)
+                            final_metrics["eval/wer"] = wer
+                            if best_eval_wer is None or wer < best_eval_wer:
+                                best_eval_wer = wer
+                                ckpt_mod.save_eval_checkpoint(
+                                    os.path.join(ckpt_dir, exp_name, "best.npz"),
+                                    jax.device_get(state), dims,
+                                )
+                    else:
+                        eval_ckpt = os.path.join(
+                            ckpt_dir, exp_name, f"eval_{global_step}.npz"
+                        )
+                        ckpt_mod.save_eval_checkpoint(
+                            eval_ckpt, jax.device_get(state), dims
+                        )
+                        if eval_proc is None or eval_proc.poll() is not None:
+                            eval_proc = run_async_eval(
+                                eval_ckpt, eval_set, eval_dir,
+                                os.path.join("eval_results", exp_name),
+                            )
+
+                if max_steps_this_run and (global_step - start_step) >= max_steps_this_run:
+                    stop = True
+                    break
+                if global_step >= train_steps:
+                    stop = True
+                    break
+                timer.start("dataloader")
+            else:
+                epoch += 1
+                continue
+
+        manager.save(
+            global_step, jax.device_get(state), dims,
+            epoch=epoch, best_eval_wer=best_eval_wer, wait=True,
+        )
+        manager.close()
+        logger.close()
+    finally:
+        # the process-global flash mesh must not outlive the sharded
+        # step: a later single-device flash_mha call (e.g. inference
+        # after training) would silently shard_map over the stale mesh
+        from olmoasr_tpu.ops import flash as flash_mod
+
+        flash_mod.set_flash_mesh(None)
     final_metrics["global_step"] = global_step
     return final_metrics
 

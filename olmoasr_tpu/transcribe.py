@@ -667,7 +667,10 @@ def transcribe_many(
         def to_pcm16(w: np.ndarray) -> Optional[np.ndarray]:
             s = w * 32768.0
             r = np.rint(s)
-            if np.abs(r).max(initial=0.0) <= 32767 and np.array_equal(r, s):
+            if (
+                r.size == 0
+                or (r.min() >= -32768 and r.max() <= 32767)
+            ) and np.array_equal(r, s):
                 return r.astype(np.int16)
             return None
 

@@ -67,6 +67,29 @@ def test_submit_rejects_unknown_options(model):
         svc.submit(_tone(0.5), not_an_option=1)
 
 
+def test_stop_rejects_submit_and_fails_queued(model):
+    # after stop(): submit() raises instead of enqueueing into a dead worker,
+    # and any job left in the queue gets its Future failed (never hangs)
+    svc = BatchingService(model, max_batch=2, max_wait_ms=10)
+    svc.stop()  # never started: stop must still close the service
+    with pytest.raises(RuntimeError, match="stopped"):
+        svc.submit(_tone(0.5), **OPTS)
+
+    svc2 = BatchingService(model, max_batch=2, max_wait_ms=10)
+    # enqueue directly behind a sentinel to simulate a job racing stop()
+    from concurrent.futures import Future
+
+    from olmoasr_tpu.serve import _SENTINEL
+
+    fut = Future()
+    svc2._queue.put(_SENTINEL)
+    svc2._queue.put((_tone(0.5), dict(OPTS), fut))
+    svc2.start()
+    svc2.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        fut.result(timeout=30)
+
+
 def test_http_server_end_to_end(model, tmp_path):
     import scipy.io.wavfile as wavfile
 
