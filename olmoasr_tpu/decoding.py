@@ -307,7 +307,13 @@ def _decode_prefill_jit(
     compute_dtype=jnp.bfloat16,
     kv_quant: bool = False,
 ):
-    """Encoder + prompt prefill; returns the decode carry + diagnostics."""
+    """Encoder + prompt prefill; returns the decode carry + diagnostics.
+
+    ``prompt`` may carry ``n_groups = prompt_rows / mel_rows`` token rows per
+    audio window (best_of sampling): the encoder runs ONCE per window and the
+    groups share the cross K/V cache (decode_step kv_group indexing) — the
+    reference re-encodes and replicates per sample.
+    """
     audio_features = model_mod.encode_audio(
         params, dims, mel, compute_dtype=compute_dtype
     )
@@ -316,7 +322,7 @@ def _decode_prefill_jit(
     # ring-read saving); the capability stays in init_cache/the kernel.
     cache = model_mod.init_cache(
         params, dims, audio_features, max_len=prompt_len + sample_len,
-        quantize_cross=kv_quant,
+        quantize_cross=kv_quant, self_batch=prompt.shape[0],
     )
     logits_all, cache = model_mod.decode_step(params, dims, prompt, cache)
     # no_speech prob is measured at the sot position ([pip:whisper]
@@ -325,7 +331,7 @@ def _decode_prefill_jit(
         logits_all[:, sot_index].astype(jnp.float32), axis=-1
     )
     first_logits = logits_all[:, -1].astype(jnp.float32)
-    B = mel.shape[0]
+    B = prompt.shape[0]
     carry = (
         cache,
         jnp.full((B, sample_len), cfg.eot, jnp.int32),
@@ -505,9 +511,13 @@ def _beam_prefill_jit(
     audio_features = model_mod.encode_audio(
         params, dims, mel, compute_dtype=compute_dtype
     )
-    af = jnp.repeat(audio_features, K, axis=0)
+    # cross K/V stored ONCE per audio window; the K beams (self rings, token
+    # rows) share it via decode_step's kv_group indexing. The reference (and
+    # r2) replicated the cross cache per beam — 5x the dominant HBM bytes of
+    # the decode loop at the eval config's beam_size=5 (eval.py:2077-2084).
     cache = model_mod.init_cache(
-        params, dims, af, max_len=prompt_len + sample_len, quantize_cross=kv_quant
+        params, dims, audio_features, max_len=prompt_len + sample_len,
+        quantize_cross=kv_quant, self_batch=B * K,
     )
     prompt_k = jnp.repeat(prompt, K, axis=0)
     logits_all, cache = model_mod.decode_step(params, dims, prompt_k, cache)
@@ -701,14 +711,14 @@ def decode(
 
     n_groups = options.best_of if (options.best_of and options.temperature > 0) else 1
     B = mel.shape[0]
-    if n_groups > 1:
-        mel_in = jnp.repeat(mel, n_groups, axis=0)
-        prompt_in = jnp.repeat(prompt_arr, n_groups, axis=0)
-    else:
-        mel_in, prompt_in = mel, prompt_arr
+    # best_of groups ride extra TOKEN rows only: mel stays at B windows (one
+    # encode, shared cross cache); prompt rows carry the group factor
+    prompt_in = (
+        jnp.repeat(prompt_arr, n_groups, axis=0) if n_groups > 1 else prompt_arr
+    )
 
     tokens, sum_logprobs, probs_at_sot, audio_features = _decode_greedy_jit(
-        params, dims, mel_in, prompt_in, cfg, sample_len, len(prompt), sot_index,
+        params, dims, mel, prompt_in, cfg, sample_len, len(prompt), sot_index,
         jnp.float32(options.temperature), rng, compute_dtype, options.kv_quant,
     )
     no_speech_probs = np.asarray(probs_at_sot[:, tokenizer.no_speech])

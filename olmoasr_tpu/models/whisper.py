@@ -381,6 +381,7 @@ def decode_train(
     *,
     remat: bool = False,
     flash: Optional[bool] = None,
+    return_hidden: bool = False,
 ) -> jax.Array:
     """TextDecoder training forward (model.py:626-776): causal (+padding) mask,
     full-sequence attention, logits through tied embedding in fp32.
@@ -462,6 +463,8 @@ def decode_train(
     f = _remat(block_fn, remat)
     x, _ = jax.lax.scan(f, x, dec["blocks"])
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
+    if return_hidden:
+        return x
     logits = (x @ dec["token_embedding"].astype(x.dtype).T).astype(jnp.float32)
     return logits
 
@@ -476,14 +479,18 @@ def forward_train(
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
     flash: Optional[bool] = None,
+    return_hidden: bool = False,
 ) -> jax.Array:
     """Full training forward: mel -> encoder -> decoder -> logits
-    (OLMoASR.forward, model.py:778-923)."""
+    (OLMoASR.forward, model.py:778-923). ``return_hidden`` stops before the
+    tied-embedding logits matmul (for the chunked-vocab CE in training — the
+    (B, T, 51865) fp32 logits tensor never materializes)."""
     audio = encode_audio(
         params, dims, mel, compute_dtype=compute_dtype, remat=remat, flash=flash
     )
     return decode_train(
-        params, dims, tokens, audio, padding_mask, remat=remat, flash=flash
+        params, dims, tokens, audio, padding_mask, remat=remat, flash=flash,
+        return_hidden=return_hidden,
     )
 
 
@@ -545,11 +552,22 @@ def init_cache(
     *,
     quantize_cross: bool = False,
     quantize_self: bool = False,
+    self_batch: Optional[int] = None,
 ) -> KVCache:
-    """Allocate the cache and precompute per-layer cross-attention k/v."""
+    """Allocate the cache and precompute per-layer cross-attention k/v.
+
+    ``self_batch`` sizes the self-attention rings independently of the cross
+    cache: beam search / best_of sampling decode ``self_batch = B * K`` token
+    rows that all attend over the SAME ``B`` audio windows — storing the cross
+    K/V once per window (not per beam) cuts the decode loop's dominant HBM
+    traffic by K (the reference replicates per beam; eval.py beam_size=5).
+    decode_step derives the group factor from the row-count ratio.
+    """
     dec = params["decoder"]
     L = dims.n_text_layer
     B = audio_features.shape[0]
+    sb = self_batch or B
+    assert sb % B == 0, "self_batch must be a multiple of the audio batch"
     D = dims.n_text_state
     n_ctx = max_len or dims.n_text_ctx
     dtype = audio_features.dtype
@@ -596,11 +614,11 @@ def init_cache(
     self_dtype = jnp.int8 if quantize_self else dtype
     sk_scale = sv_scale = None
     if quantize_self:
-        sk_scale = jnp.zeros((L, B, 1, n_ctx), jnp.float32)
-        sv_scale = jnp.zeros((L, B, 1, n_ctx), jnp.float32)
+        sk_scale = jnp.zeros((L, sb, 1, n_ctx), jnp.float32)
+        sv_scale = jnp.zeros((L, sb, 1, n_ctx), jnp.float32)
     return KVCache(
-        self_k=jnp.zeros((L, B, n_ctx, D), self_dtype),
-        self_v=jnp.zeros((L, B, n_ctx, D), self_dtype),
+        self_k=jnp.zeros((L, sb, n_ctx, D), self_dtype),
+        self_v=jnp.zeros((L, sb, n_ctx, D), self_dtype),
         cross_k=cross_k,
         cross_v=cross_v,
         index=jnp.zeros((), jnp.int32),
@@ -709,6 +727,11 @@ def decode_step(
     # transposed cross-K layout (L, B, D, T) — see init_cache; detected by
     # shape against cross_v (init_cache never transposes when T == D)
     ck_t = cache.cross_k.shape != cache.cross_v.shape
+    # shared cross cache (see init_cache self_batch): kv_group token rows per
+    # audio window, row b reads cross row b // kv_group (audio-major layout)
+    kv_B = cache.cross_v.shape[1]
+    assert B % kv_B == 0, f"token rows {B} not a multiple of audio rows {kv_B}"
+    kv_group = B // kv_B
 
     x = dec["token_embedding"][tokens].astype(dtype)
     pos = jax.lax.dynamic_slice_in_dim(
@@ -719,6 +742,7 @@ def decode_step(
     on_tpu = jax.default_backend() == "tpu"
     use_pallas_cross = (
         S == 1 and on_tpu and os.environ.get("OLMOASR_PALLAS_CROSS", "0") == "1"
+        and kv_group == 1  # standalone cross kernel has no shared-kv indexing
     )
     # fused cross sub-block megakernel (LN + q proj + int8 attention + out
     # proj + residual in ONE launch; streams int8 K/V bytes instead of the
@@ -849,6 +873,7 @@ def decode_step(
                 wv_mode=os.environ.get("OLMOASR_WV_MODE", "dot"),
                 k_transposed=ck_t,
                 rows=int(os.environ.get("OLMOASR_CROSS_ROWS", "1")),
+                kv_group=kv_group,
             )
         elif use_pallas_cross:
             from olmoasr_tpu.ops.attention import cross_attend_decode
@@ -858,9 +883,19 @@ def decode_step(
                 qc, ck, cv, cks, cvs, n_head=dims.n_text_head
             ).astype(x.dtype)
         else:
-            cattn = cross_attend(
-                qc, ck, cv, dims.n_text_head, cks, cvs, k_transposed=ck_t
-            )
+            if kv_group > 1:
+                # token rows sharing a cross row fold into the query sequence
+                # dim (cross attention is position-independent per query), so
+                # the shared K/V never replicate — used by beam/best_of
+                # prefill and the kernel-off decode path
+                qg = qc.reshape(kv_B, kv_group * S, D)
+                cattn = cross_attend(
+                    qg, ck, cv, dims.n_text_head, cks, cvs, k_transposed=ck_t
+                ).reshape(B, S, D)
+            else:
+                cattn = cross_attend(
+                    qc, ck, cv, dims.n_text_head, cks, cvs, k_transposed=ck_t
+                )
         if use_pallas_cross_block:
             pass  # out proj + residual fused into cross_block_decode
         elif use_pallas_self:

@@ -992,7 +992,7 @@ def _cross_block_kernel(
     jax.jit,
     static_argnames=(
         "n_head", "interpret", "v_interleaved", "fast_softmax", "wv_mode",
-        "k_transposed", "rows",
+        "k_transposed", "rows", "kv_group",
     ),
 )
 def cross_block_decode(
@@ -1016,10 +1016,17 @@ def cross_block_decode(
     wv_mode: str = "expand",
     k_transposed: bool = False,
     rows: int = 1,
+    kv_group: int = 1,
 ) -> jax.Array:
     """Whole decode-step cross-attention sub-block in ONE kernel per layer:
     fp32 LN + q projection + int8 (or bf16) cross attention + output
     projection + residual.
+
+    ``kv_group``: number of query rows sharing one cross K/V row (beam
+    search / best_of — beams of a window attend over identical audio). The
+    K/V and scale blocks are indexed ``b // kv_group``; consecutive grid
+    steps hitting the same block index skip the HBM->VMEM copy, so the
+    dominant cross-cache read drops by the group factor.
 
     THE decode bandwidth bottleneck is the cross K/V read (every layer, every
     step, reads (B, 1500, D) K and V). The XLA int8 path moves bf16-sized
@@ -1046,11 +1053,15 @@ def cross_block_decode(
         cv_scale = cv_scale[:, :, None, :]
     if rows <= 0 or B % rows != 0 or not k_transposed:
         rows = 1  # multi-row programs implemented for the kt kernel only
+    if kv_group > 1:
+        rows = 1  # shared-kv indexing assumes one query row per program
+    assert B % kv_group == 0
+    kvmap = lambda b, s: (s[0], b // kv_group, 0, 0)
     if k_transposed:
         assert not v_interleaved, "kt kernel uses the normal V layout"
         L, _, _, T = ck.shape
         k_block = pl.BlockSpec(
-            (1, rows, D, T), lambda b, s: (s[0], b, 0, 0),
+            (1, rows, D, T), kvmap,
             memory_space=pltpu.VMEM,
         )
         kernel = functools.partial(
@@ -1059,7 +1070,7 @@ def cross_block_decode(
     else:
         L, _, T, _ = ck.shape
         k_block = pl.BlockSpec(
-            (1, 1, T, D), lambda b, s: (s[0], b, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, T, D), kvmap, memory_space=pltpu.VMEM
         )
         kernel = functools.partial(
             _cross_block_kernel, n_head=n_head, v_interleaved=v_interleaved,
@@ -1069,7 +1080,6 @@ def cross_block_decode(
 
     row3 = lambda b, s: (b, 0, 0)
     lay3 = lambda b, s: (s[0], 0, 0)
-    cache4 = lambda b, s: (s[0], b, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // rows,),
@@ -1081,14 +1091,14 @@ def cross_block_decode(
             pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D, D), lay3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, 1, T), cache4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, 1, T), cache4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 1, T), kvmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 1, T), kvmap, memory_space=pltpu.VMEM),
             k_block,
-            pl.BlockSpec((1, rows, T, D), cache4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, T, D), kvmap, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),
     )
-    kv_bytes = T * D * (1 if ck.dtype == jnp.int8 else 2)
+    kv_bytes = T * D * (1 if ck.dtype == jnp.int8 else 2) // kv_group
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

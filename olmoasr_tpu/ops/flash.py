@@ -172,8 +172,12 @@ def _flash_mha_local(
     # batches; backward defaults to 128 (OLMOASR_FLASH_BWD_BLOCK to retune).
     # Backward blocks are always set so the same call is differentiable —
     # the bwd kernels only materialize under jax.grad.
+    # OLMOASR_FLASH_FWD_BLOCK: a k-block spanning the whole padded row
+    # (1536 for the encoder) turns the online softmax into a one-pass
+    # softmax — no running max/denominator rescale corrections
+    fwd = int(os.environ.get("OLMOASR_FLASH_FWD_BLOCK", "0")) or (block or 512)
     blk_q = min(block or 512, Tq_pad)
-    blk_k = min(block or 512, Tk_pad)
+    blk_k = min(fwd, Tk_pad)
     # bwd blocks measured on v5e (medium.en B=8 fwd+bwd, perf/r2_train_flash3.log):
     # 128 -> 1081ms, 512 -> 710ms (XLA attention: 756ms) — default 512
     bwd = int(os.environ.get("OLMOASR_FLASH_BWD_BLOCK", "512"))

@@ -107,6 +107,59 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     )
 
 
+def _chunked_logit_stats(
+    hidden: jax.Array,  # (B, T, D) compute dtype
+    embedding: jax.Array,  # (V, D) — incl. the n_vocab+1 padding row
+    targets: jax.Array,  # (B, T) int32, already clamped to valid ids
+    chunk: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(lse, target_logit, argmax) over the vocab WITHOUT materializing the
+    (B, T, V) logits tensor: a checkpointed ``lax.scan`` over vocab chunks
+    carries the online logsumexp / running argmax / target gather. The
+    backward pass recomputes each chunk's logits and accumulates d_hidden and
+    the per-chunk embedding grads — peak activation memory drops from
+    2 x (B, T, 51865) fp32 (logits + d_logits, ~1.5GB at micro_bs=8) to
+    (B, T, chunk). Matmul dtype matches the dense path (bf16 MXU, f32 stats)."""
+    V = embedding.shape[0]
+    nc = -(-V // chunk)
+    embc = jnp.pad(embedding, ((0, nc * chunk - V), (0, 0))).reshape(
+        nc, chunk, -1
+    )
+    offs = jnp.arange(nc, dtype=jnp.int32) * chunk
+    B, T = targets.shape
+    neg = jnp.float32(-1e30)
+
+    def body(carry, xs):
+        ec, off = xs
+        m, s, amax, aidx, tgt = carry
+        lg = (hidden @ ec.astype(hidden.dtype).T).astype(jnp.float32)
+        ids = off + jnp.arange(chunk, dtype=jnp.int32)
+        lg = jnp.where(ids[None, None, :] < V, lg, neg)  # mask pad rows
+        cmax = jnp.max(lg, axis=-1)  # (B, T)
+        nm = jnp.maximum(m, cmax)
+        s = s * jnp.exp(m - nm) + jnp.sum(jnp.exp(lg - nm[..., None]), axis=-1)
+        carg = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        aidx = jnp.where(cmax > amax, off + carg, aidx)
+        amax = jnp.maximum(amax, cmax)
+        loc = targets - off
+        hit = (loc >= 0) & (loc < chunk)
+        tl = jnp.take_along_axis(
+            lg, jnp.clip(loc, 0, chunk - 1)[..., None], axis=-1
+        )[..., 0]
+        tgt = jnp.where(hit, tl, tgt)
+        return (nm, s, amax, aidx, tgt), None
+
+    init = (
+        jnp.full((B, T), neg), jnp.zeros((B, T), jnp.float32),
+        jnp.full((B, T), neg), jnp.zeros((B, T), jnp.int32),
+        jnp.full((B, T), neg),
+    )
+    (m, s, _, aidx, tgt), _ = jax.lax.scan(
+        jax.checkpoint(body), init, (embc, offs)
+    )
+    return m + jnp.log(s), tgt, aidx
+
+
 def loss_fn(
     params,
     dims: ModelDimensions,
@@ -121,22 +174,37 @@ def loss_fn(
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Teacher-forced cross entropy with ignore_index=51864
     (train_timestamps.py:1444-1450)."""
-    logits = model_mod.forward_train(
-        params, dims, mel, text_input, padding_mask,
-        compute_dtype=compute_dtype, remat=remat, flash=flash,
-    )  # (B, T, V) fp32
+    import os as _os
+
     valid = text_target != PADDING_TOKEN
     safe_target = jnp.where(valid, text_target, 0)
-    # logsumexp-form CE: identical to -log_softmax[target] but never
-    # materializes the (B, T, V) fp32 logprob tensor (744MB at micro_bs=8)
-    lse = jax.scipy.special.logsumexp(logits, axis=-1)
-    tgt_logit = jnp.take_along_axis(logits, safe_target[..., None], axis=-1)[..., 0]
-    nll = lse - tgt_logit
     n_valid = jnp.maximum(jnp.sum(valid), 1)
+    chunk = int(_os.environ.get("OLMOASR_CE_CHUNK", "0"))
+    if chunk > 0:
+        hidden = model_mod.forward_train(
+            params, dims, mel, text_input, padding_mask,
+            compute_dtype=compute_dtype, remat=remat, flash=flash,
+            return_hidden=True,
+        )  # (B, T, D)
+        lse, tgt_logit, pred = _chunked_logit_stats(
+            hidden, params["decoder"]["token_embedding"], safe_target, chunk
+        )
+    else:
+        logits = model_mod.forward_train(
+            params, dims, mel, text_input, padding_mask,
+            compute_dtype=compute_dtype, remat=remat, flash=flash,
+        )  # (B, T, V) fp32
+        # logsumexp-form CE: identical to -log_softmax[target] but never
+        # materializes the (B, T, V) fp32 logprob tensor (744MB at micro_bs=8)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        tgt_logit = jnp.take_along_axis(
+            logits, safe_target[..., None], axis=-1
+        )[..., 0]
+        pred = jnp.argmax(logits, axis=-1)
+    nll = lse - tgt_logit
     loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n_valid
     # in-loop teacher-forced accuracy (cheap train-WER proxy;
     # the reference logs argmax-decode WER at train_timestamps.py:1077-1196)
-    pred = jnp.argmax(logits, axis=-1)
     acc = jnp.sum((pred == text_target) & valid) / n_valid
     return loss, {"accuracy": acc, "n_tokens": n_valid}
 

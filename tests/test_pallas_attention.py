@@ -360,3 +360,81 @@ def test_cross_attend_transposed_k_xla():
     )
     err = np.abs(np.asarray(out) - np.asarray(ref)).max()
     assert err < 1e-5, err
+
+
+def test_cross_block_kernel_shared_kv_group():
+    """kv_group>1: query rows b share cross row b//G — equals the replicated
+    cache, for both the int8 (kt layout) and bf16 (plain layout) kernels."""
+    from olmoasr_tpu.models.whisper import _quantize_rows
+    from olmoasr_tpu.ops.attention import cross_block_decode
+
+    Bkv, G, T, D, H, L = 2, 3, 96, 64, 4, 2
+    B = Bkv * G
+    ks = jax.random.split(jax.random.PRNGKey(5), 12)
+    x = jax.random.normal(ks[0], (B, 1, D), jnp.float32)
+    ln_g = jax.random.normal(ks[1], (L, D)) * 0.1 + 1.0
+    ln_b = jax.random.normal(ks[2], (L, D)) * 0.1
+    wq = jax.random.normal(ks[3], (L, D, D)) * 0.1
+    bq = jax.random.normal(ks[4], (L, D)) * 0.1
+    wo = jax.random.normal(ks[5], (L, D, D)) * 0.1
+    bo = jax.random.normal(ks[6], (L, D)) * 0.1
+    ck_f = jax.random.normal(ks[7], (L, Bkv, T, D))
+    cv_f = jax.random.normal(ks[8], (L, Bkv, T, D))
+    ckq, cks = _quantize_rows(ck_f)
+    cvq, cvs = _quantize_rows(cv_f)
+
+    rep = lambda a: jnp.repeat(a, G, axis=1)  # audio-major replication
+    for kt in (False, True):
+        ckq_l = ckq.transpose(0, 1, 3, 2) if kt else ckq
+        ref = cross_block_decode(
+            x, ln_g, ln_b, wq, bq, wo, bo,
+            rep(ckq_l), rep(cvq), rep(cks), rep(cvs),
+            jnp.int32(1), n_head=H, interpret=True, k_transposed=kt,
+        )
+        out = cross_block_decode(
+            x, ln_g, ln_b, wq, bq, wo, bo,
+            ckq_l, cvq, cks, cvs,
+            jnp.int32(1), n_head=H, interpret=True, k_transposed=kt,
+            kv_group=G,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-5
+        )
+
+
+def test_decode_step_shared_cross_cache_matches_replicated():
+    """Model-level: init_cache(self_batch=B*G) + decode_step == the fully
+    replicated cache, through prefill AND single-token steps (XLA path)."""
+    from olmoasr_tpu.models import whisper as m
+    from olmoasr_tpu.models.dims import ModelDimensions
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=96, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_vocab=256, n_text_ctx=32, n_text_state=64,
+        n_text_head=4, n_text_layer=2,
+    )
+    params = m.init_params(jax.random.PRNGKey(0), dims)
+    Bkv, G = 2, 3
+    af = jax.random.normal(jax.random.PRNGKey(1), (Bkv, 96, 64), jnp.float32)
+
+    for quant in (False, True):
+        shared = m.init_cache(
+            params, dims, af, max_len=16, quantize_cross=quant,
+            self_batch=Bkv * G,
+        )
+        repl = m.init_cache(
+            params, dims, jnp.repeat(af, G, axis=0), max_len=16,
+            quantize_cross=quant,
+        )
+        prompt = jnp.tile(jnp.array([[5, 7, 9]], jnp.int32), (Bkv * G, 1))
+        lo_s, shared = m.decode_step(params, dims, prompt, shared)
+        lo_r, repl = m.decode_step(params, dims, prompt, repl)
+        np.testing.assert_allclose(
+            np.asarray(lo_s), np.asarray(lo_r), atol=2e-5, rtol=1e-5
+        )
+        tok = jnp.argmax(lo_s[:, -1], axis=-1)[:, None].astype(jnp.int32)
+        l2_s, _ = m.decode_step(params, dims, tok, shared)
+        l2_r, _ = m.decode_step(params, dims, tok, repl)
+        np.testing.assert_allclose(
+            np.asarray(l2_s), np.asarray(l2_r), atol=2e-5, rtol=1e-5
+        )
