@@ -86,7 +86,7 @@ def bench_train():
         ),
         "text_input": jnp.asarray(rng.integers(0, 51864, (1, micro_bs, T)), jnp.int32),
         "text_target": jnp.asarray(rng.integers(0, 51864, (1, micro_bs, T)), jnp.int32),
-        "padding_mask": jnp.zeros((1, micro_bs, T, T), jnp.float32),
+        "padding_mask": jnp.zeros((1, micro_bs, T), jnp.float32),
     }
 
     state, metrics = step(state, batch)  # compile

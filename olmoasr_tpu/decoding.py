@@ -432,7 +432,7 @@ def _beam_step(carry, i, params, dims, cfg, B, K):
     V = dims.n_vocab
     eot = cfg.eot
     NEG = jnp.float32(_BEAM_NEG)
-    cache, tokens, beam_lp, fin_tokens, fin_lp, logits = carry
+    cache, tokens, beam_lp, fin_tokens, fin_lp, logits, anc = carry
     n_fin = fin_lp.shape[1]  # = max_candidates
     # tokens: (B*K, sample_len); beam_lp: (B, K); logits: (B*K, V)
     filt = apply_filters(logits, tokens, i, cfg)  # (B*K, V)
@@ -467,31 +467,33 @@ def _beam_step(carry, i, params, dims, cfg, B, K):
     live_beam = jnp.take_along_axis(src_beam, best_live_idx, axis=1)
     live_tok = jnp.take_along_axis(tok, best_live_idx, axis=1)
 
-    # reorder token history and self-cache by source beam (cross K/V rows are
-    # per-beam copies of the same audio window — invariant under permutation)
+    # reorder the (tiny) token history by source beam; the self RINGS are
+    # never physically reordered — the per-(beam, position) ancestry map is
+    # permuted instead and the self-attention kernel gathers rows in VMEM
+    # (_self_decode_kernel_beam; at small.en B=32 K=5 the physical reorder of
+    # the (12, 160, 226, 768) rings measured ~8.4ms/step — a third of the
+    # beam step). Cross K/V rows are per-window and permutation-invariant.
     gather_rows = (jnp.arange(B)[:, None] * K + live_beam).reshape(-1)
     tokens = tokens[gather_rows]
     tokens = tokens.at[:, i].set(live_tok.reshape(-1))
-    cache = model_mod.KVCache(
-        self_k=cache.self_k[:, gather_rows],
-        self_v=cache.self_v[:, gather_rows],
-        cross_k=cache.cross_k,
-        cross_v=cache.cross_v,
-        index=cache.index,
-        cross_k_scale=cache.cross_k_scale,
-        cross_v_scale=cache.cross_v_scale,
-        # self scales must follow their rows; cross twins are row-invariant
-        self_k_scale=None if cache.self_k_scale is None
-        else cache.self_k_scale[:, gather_rows],
-        self_v_scale=None if cache.self_v_scale is None
-        else cache.self_v_scale[:, gather_rows],
-        cross_v_il=cache.cross_v_il,
+    C = anc.shape[-1]
+    anc3 = jnp.take_along_axis(
+        anc.reshape(B, K, C), live_beam[:, :, None], axis=1
     )
+    # positions not yet written stay identity: this step's kv is computed
+    # from the (already reordered) token and written to the beam's OWN row
+    pos = jnp.arange(C, dtype=jnp.int32)
+    anc3 = jnp.where(
+        pos[None, None, :] >= cache.index,
+        jnp.arange(K, dtype=jnp.int32)[None, :, None],
+        anc3,
+    )
+    anc = anc3.reshape(B * K, C)
     beam_lp = best_live_lp
     next_logits, cache = model_mod.decode_step(
-        params, dims, live_tok.reshape(-1, 1), cache
+        params, dims, live_tok.reshape(-1, 1), cache, beam_anc=anc
     )
-    return (cache, tokens, beam_lp, fin_tokens, fin_lp, next_logits[:, 0])
+    return (cache, tokens, beam_lp, fin_tokens, fin_lp, next_logits[:, 0], anc)
 
 
 @functools.partial(
@@ -525,6 +527,12 @@ def _beam_prefill_jit(
         logits_all[::K, sot_index].astype(jnp.float32), axis=-1
     )
     first_logits = logits_all[:, -1].astype(jnp.float32)
+    # ancestry map: identity at prefill (every row wrote its own prompt kv);
+    # _beam_step permutes it instead of physically reordering the self rings
+    n_ctx = cache.self_k.shape[2]
+    anc = jnp.broadcast_to(
+        (jnp.arange(B * K, dtype=jnp.int32) % K)[:, None], (B * K, n_ctx)
+    )
     carry = (
         cache,
         jnp.full((B * K, sample_len), cfg.eot, jnp.int32),
@@ -532,6 +540,7 @@ def _beam_prefill_jit(
         jnp.full((B, n_fin, sample_len), cfg.eot, jnp.int32),
         jnp.full((B, n_fin), jnp.float32(_BEAM_NEG)),
         first_logits,
+        anc,
     )
     return carry, probs_at_sot, audio_features
 
@@ -589,7 +598,7 @@ def _decode_beam_jit(
         beam_lp, fin_lp = np.asarray(carry[2]), np.asarray(carry[4])
         if (fin_lp.min(axis=1) >= beam_lp.max(axis=1)).all():
             break
-    (cache, tokens, beam_lp, fin_tokens, fin_lp, _) = carry
+    (cache, tokens, beam_lp, fin_tokens, fin_lp, _, _anc) = carry
     # any still-live beams count as candidates too (whisper finalizes by
     # appending eot to unfinished beams)
     live_tokens = tokens.reshape(B, K, sample_len)

@@ -163,11 +163,18 @@ def sdpa(
     v: jax.Array,  # (B, Tk, D)
     n_head: int,
     mask: Optional[jax.Array] = None,  # additive, broadcastable to (B, H, Tq, Tk)
+    key_bias: Optional[jax.Array] = None,  # additive per-key (B, Tk)
 ) -> jax.Array:
     """Scaled dot-product attention with whisper's d_head**-0.25 q/k scaling and
     fp32 softmax (model.py:330-340, 423-433). XLA fuses this well; a Pallas
     flash-attention path in ``olmoasr_tpu.ops.attention`` replaces it on TPU for
-    long sequences."""
+    long sequences.
+
+    ``key_bias`` carries the per-sample pad-column mask (reference
+    model.py:684-686) as a (B, Tk) vector: both small additive operands fuse
+    into the softmax fusion, so no (B, H, Tq, Tk) mask tensor ever sits in
+    HBM (the materialized form measured ~100MB of per-layer reads at
+    medium.en micro_bs=8)."""
     d_head = q.shape[-1] // n_head
     scale = d_head ** -0.25
     qh = _split_heads(q, n_head) * scale  # (B,Tq,H,Dh)
@@ -176,6 +183,8 @@ def sdpa(
     logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)
     if mask is not None:
         logits = logits + mask.astype(jnp.float32)
+    if key_bias is not None:
+        logits = logits + key_bias.astype(jnp.float32)[:, None, None, :]
     w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", w, vh)
     return out.reshape(q.shape)
@@ -195,6 +204,7 @@ def _block_apply(
     mask: Optional[jax.Array],
     xa_kv: Optional[Tuple[jax.Array, jax.Array]] = None,  # precomputed cross k/v
     self_kv: Optional[Tuple[jax.Array, jax.Array]] = None,  # cache for self-attn
+    key_bias: Optional[jax.Array] = None,  # (B, T) pad-column bias
 ) -> jax.Array:
     """One residual attention block (model.py:445-529)."""
     h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
@@ -205,7 +215,8 @@ def _block_apply(
     else:
         k, v = self_kv
     x = x + _linear(
-        _tag_attn(sdpa(q, k, v, n_head, mask)), lp["attn_o_w"], lp["attn_o_b"]
+        _tag_attn(sdpa(q, k, v, n_head, mask, key_bias)),
+        lp["attn_o_w"], lp["attn_o_b"],
     )
 
     if xa_kv is not None:
@@ -377,7 +388,7 @@ def decode_train(
     dims: ModelDimensions,
     tokens: jax.Array,  # (B, T) int32; may contain PADDING_TOKEN
     audio_features: jax.Array,  # (B, 1500, D)
-    padding_mask: Optional[jax.Array] = None,  # additive (B, T, T) or (B,1,T,T)
+    padding_mask: Optional[jax.Array] = None,  # additive (B, T) per-key bias, or (B, T, T)/(B,1,T,T)
     *,
     remat: bool = False,
     flash: Optional[bool] = None,
@@ -410,7 +421,13 @@ def decode_train(
     )
 
     causal = jnp.triu(jnp.full((T, T), -jnp.inf, dtype=jnp.float32), k=1)
-    if padding_mask is not None:
+    key_bias = None
+    if padding_mask is not None and padding_mask.ndim == 2:
+        # compact (B, T) per-key pad bias — the loader's native form; stays a
+        # vector all the way into the softmax fusion (see sdpa.key_bias)
+        key_bias = padding_mask.astype(jnp.float32)
+        mask = causal[None, None]
+    elif padding_mask is not None:
         if padding_mask.ndim == 3:
             padding_mask = padding_mask[:, None]  # (B,1,T,T)
         mask = padding_mask.astype(jnp.float32) + causal
@@ -421,8 +438,10 @@ def decode_train(
         from olmoasr_tpu.ops.flash import flash_mha
 
         # per-sample key validity from the additive mask's suffix-pad columns
-        # (dataset.py:250-251: mask[:, n:] = -inf, identical for every row)
-        if padding_mask is not None:
+        # (dataset.py: mask[n:] = -inf, one bias per key column)
+        if key_bias is not None:
+            ids = (key_bias != 0).astype(jnp.int32)  # (B,T)
+        elif padding_mask is not None:
             ids = (padding_mask[:, 0, 0, :] != 0).astype(jnp.int32)  # (B,T)
         else:
             ids = jnp.zeros(tokens.shape, jnp.int32)
@@ -441,7 +460,9 @@ def decode_train(
         ck = _tag_proj(_linear(audio_features, lp["cross_k_w"]))
         cv = _tag_proj(_linear(audio_features, lp["cross_v_w"], lp["cross_v_b"]))
         if not use_flash:
-            return _block_apply(lp, x, n_head, mask, xa_kv=(ck, cv)), None
+            return _block_apply(
+                lp, x, n_head, mask, xa_kv=(ck, cv), key_bias=key_bias
+            ), None
         h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
         q = _tag_proj(_linear(h, lp["attn_q_w"], lp["attn_q_b"]))
         k = _tag_proj(_linear(h, lp["attn_k_w"]))
@@ -710,12 +731,19 @@ def decode_step(
     dims: ModelDimensions,
     tokens: jax.Array,  # (B, S) — S=prompt len at prefill, 1 afterwards
     cache: KVCache,
+    beam_anc: Optional[jax.Array] = None,  # (B, n_ctx) int32 — see below
 ) -> Tuple[jax.Array, KVCache]:
     """Run the decoder on ``tokens`` starting at position ``cache.index``.
 
     Returns logits (B, S, n_vocab) and the updated cache. Static shapes: the
     self-attention reads the full preallocated ring and masks invalid slots, so
     one compiled program serves every step (jit/scan friendly).
+
+    ``beam_anc``: beam-search ancestry — the self rings are NOT physically
+    reordered when beams are re-ranked; ``beam_anc[b, t]`` names the
+    within-group ring row (0..kv_group-1) holding row b's kv history at
+    position t. Requires a shared cross cache (kv_group > 1 via init_cache
+    self_batch) and S == 1.
     """
     dec = params["decoder"]
     B, S = tokens.shape
@@ -732,6 +760,8 @@ def decode_step(
     kv_B = cache.cross_v.shape[1]
     assert B % kv_B == 0, f"token rows {B} not a multiple of audio rows {kv_B}"
     kv_group = B // kv_B
+    if beam_anc is not None:
+        assert S == 1 and kv_group > 1, "ancestry mode needs S=1, shared cross"
 
     x = dec["token_embedding"][tokens].astype(dtype)
     pos = jax.lax.dynamic_slice_in_dim(
@@ -794,6 +824,7 @@ def decode_step(
             if (
                 os.environ.get("OLMOASR_SELF_BLOCK", "0") == "1"
                 and not self_quant
+                and beam_anc is None
             ):
                 # whole self sub-block in ONE kernel (LN+QKV+attention+
                 # o-proj+residual; r1's per-row version lost at B=32 with f32
@@ -829,6 +860,7 @@ def decode_step(
                     # blows VMEM); falls back to 1 when B isn't divisible
                     rows=int(os.environ.get("OLMOASR_SELF_ROWS", "8")),
                     ht=os.environ.get("OLMOASR_SELF_HT", "0") == "1",
+                    beam_anc=beam_anc, beam_k=kv_group,
                 ).astype(x.dtype)
                 x = matmul_residual(
                     attn, x, blocks["attn_o_w"], blocks["attn_o_b"], li
@@ -851,6 +883,15 @@ def decode_step(
                 sv = sv.astype(jnp.float32) * svs.transpose(0, 2, 1)
                 sk = sk.astype(x.dtype)
                 sv = sv.astype(x.dtype)
+            if beam_anc is not None:
+                # XLA form of the ancestry gather (CPU / kernel-off paths):
+                # row b reads position t's kv from its group's ring row
+                # beam_anc[b, t]
+                g_rows = (
+                    (jnp.arange(B) // kv_group * kv_group)[:, None] + beam_anc
+                )
+                sk = jnp.take_along_axis(sk, g_rows[:, :, None], axis=0)
+                sv = jnp.take_along_axis(sv, g_rows[:, :, None], axis=0)
             attn = _attend_cached(
                 q, sk, sv, k_new, v_new, offset, dims.n_text_head
             )

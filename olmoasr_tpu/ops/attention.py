@@ -234,6 +234,70 @@ def _self_decode_body_ht(
     o_ref[r, 0, :] = out.astype(o_ref.dtype)
 
 
+def _self_decode_kernel_beam(
+    s_ref, anc_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
+    *, n_head: int, K: int,
+):
+    """Beam-search self attention WITHOUT physically reordered rings.
+
+    Beam search must give each surviving beam the kv history of its SOURCE
+    beam. The torch reference (and r2 of this repo) physically permutes the
+    cache rows every step ([pip:whisper] BeamSearchDecoder rearrange_kv_cache;
+    at small.en B=32 K=5 the gather+relayout of the (12, 160, 226, 768)
+    rings measured ~8.4ms/step — a third of the whole beam step). Here the
+    rings stay where they were written and a per-(beam, position) ancestry
+    map ``anc_ref`` (K, C) selects, inside VMEM, which of the group's K ring
+    rows supplies each position: k_eff[t] = k[anc[r, t], t]. The HBM traffic
+    is identical to the non-beam kernel (each group's rings stream once); the
+    selection is a K-way masked pick on data already in VMEM.
+
+    One program per window: ring block (1, K, C, D), query rows (K, 1, D).
+    """
+    _, Kb, C, D = k_ref.shape
+    dh = D // n_head
+    scale = dh ** -0.25
+    offset = s_ref[1]
+    dd = _dot_dtype(q_ref.dtype)
+
+    for r in range(K):
+        anc_row = anc_ref[r, :]  # (C,) int32 within-group source rows
+        k_eff = k_ref[0, 0, :, :]  # rows with anc==0 keep these values
+        v_eff = v_ref[0, 0, :, :]
+        for j in range(1, K):
+            selj = (anc_row == j)[:, None]
+            k_eff = jnp.where(selj, k_ref[0, j, :, :], k_eff)
+            v_eff = jnp.where(selj, v_ref[0, j, :, :], v_eff)
+
+        q = q_ref[r, 0, :].astype(jnp.float32) * (scale * scale)
+        d_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 0)
+        h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
+        qm = jnp.where(d_ids // dh == h_ids, q[:, None], 0.0)  # (D, H)
+
+        logits = _qk_logits(k_eff, qm, dd)  # (C, H)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 0)
+        logits = jnp.where(pos < offset, logits, -jnp.inf)
+        kn = kn_ref[r, 0, :].astype(jnp.float32)
+        logit_new = jnp.sum(kn[:, None] * qm, axis=0, keepdims=True)  # (1, H)
+
+        m = jnp.maximum(jnp.max(logits, axis=0, keepdims=True), logit_new)
+        e_old = jnp.where(pos < offset, jnp.exp(logits - m), 0.0)
+        e_new = jnp.exp(logit_new - m)
+        denom = jnp.sum(e_old, axis=0, keepdims=True) + e_new
+        w_old = e_old / denom  # (C, H)
+        w_new = e_new / denom  # (1, H)
+
+        out2 = jax.lax.dot_general(
+            w_old.astype(dd), v_eff.astype(dd),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, D)
+        hsel = (h_ids.T == d_ids.T // dh).astype(jnp.float32)
+        out = jnp.sum(out2 * hsel, axis=0)
+        wn_full = _expand_heads(w_new, n_head, dh, jnp.float32)
+        out = out + wn_full[0] * vn_ref[r, 0, :].astype(jnp.float32)
+        o_ref[r, 0, :] = out.astype(o_ref.dtype)
+
+
 def _self_decode_kernel(s_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
                         *, n_head: int, rows: int = 1, ht: bool = False):
     body = _self_decode_body_ht if ht else _self_decode_body
@@ -536,7 +600,7 @@ def self_block_decode(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_head", "rows", "ht", "interpret")
+    jax.jit, static_argnames=("n_head", "rows", "ht", "interpret", "beam_k")
 )
 def self_attend_decode(
     q: jax.Array,  # (B, 1, D)
@@ -553,9 +617,17 @@ def self_attend_decode(
     rows: int = 1,
     ht: bool = False,
     interpret: bool = False,
+    beam_anc: Optional[jax.Array] = None,  # (B, C) int32 within-group rows
+    beam_k: int = 1,
 ) -> jax.Array:
     """Single-query self attention against the read-only KV rings + this
     step's key/value.
+
+    ``beam_anc``/``beam_k``: beam-search ancestry mode — query rows come in
+    groups of ``beam_k`` beams per audio window, the rings are NOT physically
+    reordered, and ``beam_anc[b, t]`` names the within-group ring row holding
+    row b's kv for position t (see _self_decode_kernel_beam). Requires
+    unquantized rings.
 
     ``rows`` processes that many batch rows per program (grid B/rows),
     amortizing per-program dispatch/DMA-issue overhead; must divide B.
@@ -580,6 +652,39 @@ def self_attend_decode(
     ring = lambda b, s: (s[0], b, 0, 0)
     ring4 = lambda b, s: (s[0], b, 0, 0)
     quantized = k_scale is not None
+
+    if beam_anc is not None:
+        assert not quantized, "beam ancestry mode requires bf16 rings"
+        assert B % beam_k == 0 and beam_anc.shape == (B, C)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // beam_k,),
+            in_specs=[
+                pl.BlockSpec((beam_k, C), lambda b, s: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((beam_k, 1, D), row, memory_space=pltpu.VMEM),
+                pl.BlockSpec((beam_k, 1, D), row, memory_space=pltpu.VMEM),
+                pl.BlockSpec((beam_k, 1, D), row, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, beam_k, C, D), ring, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, beam_k, C, D), ring, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((beam_k, 1, D), row,
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _self_decode_kernel_beam, n_head=n_head, K=beam_k
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, 1, D), q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * C * D * 2,
+                bytes_accessed=B * 2 * C * D * 2,
+                transcendentals=B * C * n_head,
+            ),
+            interpret=interpret,
+        )(scalars, beam_anc, q, k_new, v_new, k_ring, v_ring)
+
     in_specs = [
         pl.BlockSpec((rows, 1, D), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((rows, 1, D), row, memory_space=pltpu.VMEM),

@@ -247,8 +247,13 @@ class AudioTextDataset:
                 f"sample {index}: token length {n} exceeds context {self.n_text_ctx}"
             )
 
-        padding_mask = np.zeros((self.n_text_ctx, self.n_text_ctx), np.float32)
-        padding_mask[:, n:] = -np.inf
+        # compact per-key pad bias (T,): the reference builds the equivalent
+        # (T, T) additive matrix with -inf pad COLUMNS (model.py:684-686,
+        # train_timestamps.py:314-329) — column masks are rank-1, so shipping
+        # the vector is semantically identical and 448x smaller (host build,
+        # H2D, and per-layer HBM reads all shrink; it fuses into the softmax)
+        padding_mask = np.zeros((self.n_text_ctx,), np.float32)
+        padding_mask[n:] = -np.inf
         pad = self.n_text_ctx - n
         text_input = np.pad(text_input, (0, pad), constant_values=PADDING_TOKEN)
         text_target = np.pad(text_target, (0, pad), constant_values=PADDING_TOKEN)

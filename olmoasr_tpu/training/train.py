@@ -166,7 +166,7 @@ def loss_fn(
     mel: jax.Array,  # (B, n_mels, 3000)
     text_input: jax.Array,  # (B, 448)
     text_target: jax.Array,  # (B, 448), PADDING_TOKEN where ignored
-    padding_mask: Optional[jax.Array],  # (B, 448, 448) additive or None
+    padding_mask: Optional[jax.Array],  # (B, 448) additive per-key bias (or legacy (B, 448, 448)) or None
     *,
     compute_dtype=jnp.bfloat16,
     remat: bool = True,

@@ -116,15 +116,15 @@ def test_dataset_item_contract():
     assert item["mel"].shape == (80, 3000)
     assert item["text_input"].shape == (448,)
     assert item["text_target"].shape == (448,)
-    assert item["padding_mask"].shape == (448, 448)
+    assert item["padding_mask"].shape == (448,)
     # teacher forcing shift
     n_valid = int((item["text_input"] != PADDING_TOKEN).sum())
     np.testing.assert_array_equal(
         item["text_input"][1:n_valid], item["text_target"][: n_valid - 1]
     )
     # mask −inf exactly beyond the valid region
-    assert np.all(item["padding_mask"][:, :n_valid] == 0)
-    assert np.all(np.isneginf(item["padding_mask"][:, n_valid:]))
+    assert np.all(item["padding_mask"][:n_valid] == 0)
+    assert np.all(np.isneginf(item["padding_mask"][n_valid:]))
 
 
 def test_batch_loader_shapes_and_sharding():

@@ -109,6 +109,11 @@ def test_padding_mask_blocks_attention(tiny_params):
     l1 = m.decode_train(tiny_params, TINY_DIMS, toks, audio, jnp.asarray(pad_mask))
     l2 = m.decode_train(tiny_params, TINY_DIMS, toks2, audio, jnp.asarray(pad_mask))
     np.testing.assert_allclose(l1[0, :valid], l2[0, :valid], atol=1e-5)
+    # compact (B, T) per-key bias == the full (B, T, T) column mask
+    l3 = m.decode_train(
+        tiny_params, TINY_DIMS, toks, audio, jnp.asarray(pad_mask[:, 0, :])
+    )
+    np.testing.assert_allclose(l1, l3, atol=1e-6)
 
 
 def test_forward_train_shape_and_dtype(tiny_params):

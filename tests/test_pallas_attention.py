@@ -438,3 +438,33 @@ def test_decode_step_shared_cross_cache_matches_replicated():
         np.testing.assert_allclose(
             np.asarray(l2_s), np.asarray(l2_r), atol=2e-5, rtol=1e-5
         )
+
+def test_self_kernel_beam_ancestry_matches_gather():
+    """Beam-ancestry kernel == physically gathering the rings by ancestry and
+    running the plain cached attention (the XLA fallback in decode_step)."""
+    from olmoasr_tpu.models.whisper import _attend_cached
+    from olmoasr_tpu.ops.attention import self_attend_decode
+
+    B, K, C, D, H, L = 8, 4, 96, 64, 4, 2
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, 1, D)), jnp.float32)
+    kr = jnp.asarray(rng.standard_normal((L, B, C, D)), jnp.float32)
+    vr = jnp.asarray(rng.standard_normal((L, B, C, D)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((B, 1, D)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, 1, D)), jnp.float32)
+    ident = np.tile(np.arange(B)[:, None] % K, (1, C)).astype(np.int32)
+    for off in (0, 40, 96):
+        anc = rng.integers(0, K, (B, C)).astype(np.int32)
+        anc[:, off:] = ident[:, off:]
+        g_rows = (np.arange(B) // K * K)[:, None] + anc
+        for li in (0, 1):
+            sk = np.take_along_axis(np.asarray(kr)[li], g_rows[:, :, None], axis=0)
+            sv = np.take_along_axis(np.asarray(vr)[li], g_rows[:, :, None], axis=0)
+            ref = _attend_cached(
+                q, jnp.asarray(sk), jnp.asarray(sv), kn, vn, jnp.int32(off), H
+            )
+            out = self_attend_decode(
+                q, kr, vr, kn, vn, jnp.int32(off), jnp.int32(li),
+                n_head=H, interpret=True, beam_anc=jnp.asarray(anc), beam_k=K,
+            )
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -180,7 +180,7 @@ def test_zero2_shard_grad_op_step():
         "mel": jnp.asarray(rng.standard_normal((1, 8, 80, 96)), jnp.float32),
         "text_input": jnp.asarray(rng.integers(0, 51864, (1, 8, T)), jnp.int32),
         "text_target": jnp.asarray(rng.integers(0, 51864, (1, 8, T)), jnp.int32),
-        "padding_mask": jnp.zeros((1, 8, T, T), jnp.float32),
+        "padding_mask": jnp.zeros((1, 8, T), jnp.float32),
     }
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
