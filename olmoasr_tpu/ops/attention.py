@@ -260,11 +260,13 @@ def _self_decode_kernel_beam(
     dd = _dot_dtype(q_ref.dtype)
 
     for r in range(K):
-        anc_row = anc_ref[r, :]  # (C,) int32 within-group source rows
+        # (C, 1) int32 — reshape BEFORE comparing: Mosaic only supports
+        # minor-dim insertion on 32-bit types, not on the i1 compare result
+        anc_col = anc_ref[0, r, :].reshape(C, 1)
         k_eff = k_ref[0, 0, :, :]  # rows with anc==0 keep these values
         v_eff = v_ref[0, 0, :, :]
         for j in range(1, K):
-            selj = (anc_row == j)[:, None]
+            selj = anc_col == j
             k_eff = jnp.where(selj, k_ref[0, j, :, :], k_eff)
             v_eff = jnp.where(selj, v_ref[0, j, :, :], v_eff)
 
@@ -660,7 +662,10 @@ def self_attend_decode(
             num_scalar_prefetch=1,
             grid=(B // beam_k,),
             in_specs=[
-                pl.BlockSpec((beam_k, C), lambda b, s: (b, 0),
+                # (G, K, C) layout: the (1, K, C) block's trailing dims equal
+                # the array dims, satisfying Mosaic's (8, 128) block rule for
+                # the otherwise-indivisible K=beam width
+                pl.BlockSpec((1, beam_k, C), lambda b, s: (b, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((beam_k, 1, D), row, memory_space=pltpu.VMEM),
                 pl.BlockSpec((beam_k, 1, D), row, memory_space=pltpu.VMEM),
@@ -683,7 +688,10 @@ def self_attend_decode(
                 transcendentals=B * C * n_head,
             ),
             interpret=interpret,
-        )(scalars, beam_anc, q, k_new, v_new, k_ring, v_ring)
+        )(
+            scalars, beam_anc.reshape(B // beam_k, beam_k, C),
+            q, k_new, v_new, k_ring, v_ring,
+        )
 
     in_specs = [
         pl.BlockSpec((rows, 1, D), row, memory_space=pltpu.VMEM),
