@@ -26,7 +26,10 @@ variant = sys.argv[2] if len(sys.argv) > 2 else "medium.en"
 
 dims = VARIANT_TO_DIMS[variant]
 mesh = mesh_mod.make_mesh(len(jax.devices()), 1)
-config = train_mod.TrainConfig(train_steps=1000, micro_batch_size=micro_bs)
+config = train_mod.TrainConfig(
+    train_steps=1000, micro_batch_size=micro_bs,
+    mu_dtype=jnp.bfloat16 if os.environ.get("OLMOASR_BENCH_MU16") == "1" else None,
+)
 optimizer = train_mod.make_optimizer(config)
 state = train_mod.init_train_state(jax.random.PRNGKey(0), dims, config, optimizer)
 state, shardings = train_mod.shard_train_state(state, mesh)
@@ -40,7 +43,7 @@ batch = {
     ),
     "text_input": jnp.asarray(rng.integers(0, 51864, (1, micro_bs, T)), jnp.int32),
     "text_target": jnp.asarray(rng.integers(0, 51864, (1, micro_bs, T)), jnp.int32),
-    "padding_mask": jnp.zeros((1, micro_bs, T, T), jnp.float32),
+    "padding_mask": jnp.zeros((1, micro_bs, T), jnp.float32),
 }
 
 state, metrics = step(state, batch)  # compile
