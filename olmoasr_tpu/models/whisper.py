@@ -230,7 +230,7 @@ def _block_apply(
 
     h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
     h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
-    h = jax.nn.gelu(h, approximate=False)
+    h = _tag_mlp(jax.nn.gelu(h, approximate=False))
     x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
     return x
 
@@ -288,7 +288,35 @@ def _remat(fn, remat: bool):
                 "attn_out", "proj_out"
             ),
         )
+    if policy_name == "mlp":
+        # attn outputs + the 4096-wide gelu activation: the recompute drops
+        # the MLP (16Td^2 of the ~38Td^2+4T^2d recomputed under ``attn``),
+        # the single largest recompute term, at (B, T, 4*D) bf16 per layer of
+        # extra stash (medium.en micro_bs=8: 98MB x 24 enc layers = 2.4GB).
+        return jax.checkpoint(
+            fn,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "mlp_h"
+            ),
+        )
+    if policy_name == "mlp_wide":
+        return jax.checkpoint(
+            fn,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "proj_out", "mlp_h"
+            ),
+        )
     return jax.checkpoint(fn)
+
+
+def _scan_unroll() -> int:
+    """Unroll factor for the training layer scans (OLMOASR_SCAN_UNROLL).
+
+    ``lax.scan`` over stacked layers compiles once but serializes weight DMA
+    against compute at every iteration boundary; a small unroll lets XLA
+    prefetch the next layer's weight slices during the current layer's
+    matmuls. 1 = plain scan (default)."""
+    return int(os.environ.get("OLMOASR_SCAN_UNROLL", "1"))
 
 
 def _tag_attn(x: jax.Array) -> jax.Array:
@@ -303,6 +331,13 @@ def _tag_proj(x: jax.Array) -> jax.Array:
     from jax.ad_checkpoint import checkpoint_name
 
     return checkpoint_name(x, "proj_out")
+
+
+def _tag_mlp(x: jax.Array) -> jax.Array:
+    """Name the gelu activation for the ``mlp`` remat policy."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, "mlp_h")
 
 
 def encode_audio(
@@ -369,12 +404,12 @@ def encode_audio(
         x = x + _linear(_tag_attn(attn_fn(q, k, v)), lp["attn_o_w"], lp["attn_o_b"])
         h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
         h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
-        h = jax.nn.gelu(h, approximate=False)
+        h = _tag_mlp(jax.nn.gelu(h, approximate=False))
         x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
         return x, None
 
     f = _remat(block_fn, remat)
-    x, _ = jax.lax.scan(f, x, enc["blocks"])
+    x, _ = jax.lax.scan(f, x, enc["blocks"], unroll=_scan_unroll())
     return layer_norm(x, enc["ln_post_g"], enc["ln_post_b"])
 
 
@@ -477,12 +512,12 @@ def decode_train(
         )
         h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
         h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
-        h = jax.nn.gelu(h, approximate=False)
+        h = _tag_mlp(jax.nn.gelu(h, approximate=False))
         x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
         return x, None
 
     f = _remat(block_fn, remat)
-    x, _ = jax.lax.scan(f, x, dec["blocks"])
+    x, _ = jax.lax.scan(f, x, dec["blocks"], unroll=_scan_unroll())
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
     if return_hidden:
         return x

@@ -178,6 +178,10 @@ def _flash_mha_local(
     fwd = int(os.environ.get("OLMOASR_FLASH_FWD_BLOCK", "0")) or (block or 512)
     blk_q = min(block or 512, Tq_pad)
     blk_k = min(fwd, Tk_pad)
+    # batch rows per fwd program: the (B, H, Tq/blk) grid runs sequentially on
+    # the TensorCore, so at d_head=64 each program's matmuls are small and
+    # per-program overhead dominates — batching rows amortizes it
+    blk_b = min(int(os.environ.get("OLMOASR_FLASH_BLOCK_B", "1")), B)
     # bwd blocks measured on v5e (medium.en B=8 fwd+bwd, perf/r2_train_flash3.log):
     # 128 -> 1081ms, 512 -> 710ms (XLA attention: 756ms) — default 512
     bwd = int(os.environ.get("OLMOASR_FLASH_BWD_BLOCK", "512"))
@@ -188,7 +192,7 @@ def _flash_mha_local(
         causal=causal,
         sm_scale=dh ** -0.5,
         block_sizes=BlockSizes(
-            block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1,
+            block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=blk_b,
             block_q_major_dkv=bwd_q, block_k_major_dkv=bwd_k,
             block_k_dkv=bwd_k, block_q_dkv=bwd_q,
             block_k_major_dq=bwd_k, block_k_dq=bwd_k, block_q_dq=bwd_q,

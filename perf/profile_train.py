@@ -69,7 +69,26 @@ if not xplanes:
 
 from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: E402
 
+def _is_container(name: str) -> bool:
+    base = name.lstrip("%")
+    return (
+        base.isdigit()
+        or base.startswith("jit_")
+        or base.startswith("while")
+        or base.startswith("conditional")
+        or base.startswith("body")
+        or base.startswith("region")
+    )
+
+
+def _category(name: str) -> str:
+    base = name.lstrip("%").split(" ")[0]
+    op = base.split(".")[0].split("(")[0]
+    return op
+
+
 total_by_name = defaultdict(float)
+by_cat = defaultdict(float)
 for path in xplanes:
     space = xplane_pb2.XSpace()
     with open(path, "rb") as f:
@@ -81,9 +100,17 @@ for path in xplanes:
         for line in plane.lines:
             for ev in line.events:
                 name = ev_meta[ev.metadata_id].name
+                if _is_container(name):
+                    continue
                 total_by_name[name] += ev.duration_ps / 1e9  # ms
+                by_cat[_category(name)] += ev.duration_ps / 1e9
+
+total = sum(total_by_name.values())
+print(f"total leaf device time: {total:.2f} ms over {N} steps")
+print("== by category ==")
+for cat, ms in sorted(by_cat.items(), key=lambda kv: -kv[1])[:25]:
+    print(f"{ms:9.3f} ms  {100 * ms / total:5.1f}%  {cat}")
+print("== top leaf ops ==")
 items = sorted(total_by_name.items(), key=lambda kv: -kv[1])
-total = sum(v for _, v in items)
-print(f"total device time: {total:.2f} ms over {N} steps")
-for name, ms in items[:60]:
-    print(f"{ms:9.3f} ms  {100 * ms / total:5.1f}%  {name[:130]}")
+for name, ms in items[:50]:
+    print(f"{ms:9.3f} ms  {100 * ms / total:5.1f}%  {name[:220]}")
