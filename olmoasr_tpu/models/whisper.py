@@ -389,7 +389,18 @@ def encode_audio(
         use_flash = flash
     use_flash = use_flash and jax.default_backend() == "tpu"
 
+    # OLMOASR_ENC_ATTN=kernel routes the specialized one-pass training kernel
+    # (ops/train_attention.py: fused single-pass bwd, residuals=(q,k,v) so
+    # remat never re-runs the forward) instead of the generic flash kernel
+    use_kernel = (
+        use_flash and os.environ.get("OLMOASR_ENC_ATTN", "flash") == "kernel"
+    )
+
     def attn_fn(q, k, v):
+        if use_kernel:
+            from olmoasr_tpu.ops.train_attention import enc_self_attention
+
+            return enc_self_attention(q, k, v, dims.n_audio_head)
         if use_flash:
             from olmoasr_tpu.ops.flash import flash_self_attention
 

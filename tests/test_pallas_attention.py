@@ -468,3 +468,68 @@ def test_self_kernel_beam_ancestry_matches_gather():
                 n_head=H, interpret=True, beam_anc=jnp.asarray(anc), beam_k=K,
             )
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestTrainAttentionKernel:
+    """ops/train_attention.py: the specialized encoder training kernel
+    (one-pass softmax fwd, fused single-pass bwd, residuals=(q,k,v))."""
+
+    def _mk(self, B, T, D, seed=0):
+        rng = np.random.default_rng(seed)
+        f = lambda: jnp.asarray(rng.standard_normal((B, T, D)), jnp.bfloat16)
+        return f(), f(), f()
+
+    @pytest.mark.parametrize("B,T,D,H", [(2, 300, 128, 2), (1, 1500, 256, 4)])
+    def test_fwd_matches_sdpa(self, B, T, D, H):
+        from olmoasr_tpu.models.whisper import sdpa
+        from olmoasr_tpu.ops.train_attention import enc_self_attention
+
+        q, k, v = self._mk(B, T, D)
+        ref = np.asarray(sdpa(q, k, v, H, None), np.float32)
+        out = np.asarray(enc_self_attention(q, k, v, H, True), np.float32)
+        assert np.max(np.abs(ref - out)) < 0.05  # bf16 prob-cast noise
+
+    @pytest.mark.parametrize("B,T,D,H", [(2, 300, 128, 2), (1, 1500, 256, 4)])
+    def test_grads_match_sdpa(self, B, T, D, H):
+        from olmoasr_tpu.models.whisper import sdpa
+        from olmoasr_tpu.ops.train_attention import enc_self_attention
+
+        q, k, v = self._mk(B, T, D)
+
+        def loss(att):
+            return lambda q, k, v: jnp.sum(att(q, k, v).astype(jnp.float32) ** 2)
+
+        gr = jax.grad(loss(lambda q, k, v: sdpa(q, k, v, H, None)), (0, 1, 2))(q, k, v)
+        gn = jax.grad(
+            loss(lambda q, k, v: enc_self_attention(q, k, v, H, True)), (0, 1, 2)
+        )(q, k, v)
+        for a, b in zip(gr, gn):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+            assert rel < 0.05  # bf16 noise band (flash kernel: 1.6e-2)
+
+    def test_under_remat_policy(self):
+        """The kernel's custom VJP must compose with jax.checkpoint +
+        save_only_these_names (the training configuration)."""
+        from olmoasr_tpu.ops.train_attention import enc_self_attention
+        from olmoasr_tpu.models.whisper import _tag_attn
+
+        B, T, D, H = 1, 300, 128, 2
+        q, k, v = self._mk(B, T, D)
+
+        def block(q, k, v):
+            return jnp.sum(
+                _tag_attn(enc_self_attention(q, k, v, H, True)).astype(jnp.float32) ** 2
+            )
+
+        ck = jax.checkpoint(
+            block,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+        )
+        g_plain = jax.grad(block, (0, 1, 2))(q, k, v)
+        g_remat = jax.grad(ck, (0, 1, 2))(q, k, v)
+        for a, b in zip(g_plain, g_remat):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-5
+            )
