@@ -393,7 +393,7 @@ def encode_audio(
     # (ops/train_attention.py: fused single-pass bwd, residuals=(q,k,v) so
     # remat never re-runs the forward) instead of the generic flash kernel
     use_kernel = (
-        use_flash and os.environ.get("OLMOASR_ENC_ATTN", "flash") == "kernel"
+        use_flash and os.environ.get("OLMOASR_ENC_ATTN", "kernel") == "kernel"
     )
 
     def attn_fn(q, k, v):
@@ -500,11 +500,58 @@ def decode_train(
             # attends the full 1500 audio positions
             return flash_mha(q, ck, cv, n_head)
 
+    # OLMOASR_DEC_ATTN=kernel routes decoder self/cross attention through the
+    # specialized training kernels (ops/train_attention.py) — requires the
+    # loader's compact (B, T) key bias (or no mask); legacy (B, T, T) masks
+    # fall back to XLA attention. =kernel_interpret runs the same kernels in
+    # Pallas interpret mode on any backend (CPU equivalence tests).
+    _dec_attn = os.environ.get("OLMOASR_DEC_ATTN", "kernel")
+    kernel_interpret = _dec_attn == "kernel_interpret"
+    use_kernel = (
+        kernel_interpret
+        or (_dec_attn == "kernel" and jax.default_backend() == "tpu")
+    ) and (padding_mask is None or key_bias is not None)
+    if use_kernel:
+        from olmoasr_tpu.ops.train_attention import (
+            cross_attention as k_cross,
+            dec_self_attention as k_self,
+        )
+
+        kb = key_bias  # None -> shared static pad bias only (Bb=1 fast path)
+
+        def kernel_block(x, lp, ck, cv):
+            h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
+            q = _tag_proj(_linear(h, lp["attn_q_w"], lp["attn_q_b"]))
+            sk = _tag_proj(_linear(h, lp["attn_k_w"]))
+            sv = _tag_proj(_linear(h, lp["attn_v_w"], lp["attn_v_b"]))
+            x = x + _linear(
+                _tag_attn(
+                    k_self(
+                        q, sk, sv, n_head, key_bias=kb,
+                        interpret=kernel_interpret,
+                    )
+                ),
+                lp["attn_o_w"], lp["attn_o_b"],
+            )
+            h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
+            q = _tag_proj(_linear(h, lp["cross_q_w"], lp["cross_q_b"]))
+            x = x + _linear(
+                _tag_attn(k_cross(q, ck, cv, n_head, interpret=kernel_interpret)),
+                lp["cross_o_w"], lp["cross_o_b"],
+            )
+            h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
+            h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
+            h = _tag_mlp(jax.nn.gelu(h, approximate=False))
+            x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
+            return x
+
     # cross k/v are per-layer projections of the same audio features; computing
     # them inside the scan keeps memory low and lets XLA overlap with attention.
     def block_fn(x, lp):
         ck = _tag_proj(_linear(audio_features, lp["cross_k_w"]))
         cv = _tag_proj(_linear(audio_features, lp["cross_v_w"], lp["cross_v_b"]))
+        if use_kernel:
+            return kernel_block(x, lp, ck, cv), None
         if not use_flash:
             return _block_apply(
                 lp, x, n_head, mask, xa_kv=(ck, cv), key_bias=key_bias

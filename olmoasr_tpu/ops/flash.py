@@ -37,6 +37,25 @@ def set_flash_mesh(mesh) -> None:
     _FLASH_MESH = mesh
 
 
+def get_flash_mesh():
+    """The registered mesh, or None if unset / its devices are stale.
+
+    Shared by every training-attention kernel (this module and
+    ops/train_attention.py): a mesh whose devices are no longer live
+    (backend reinit, tests switching platforms) must not be captured
+    into a new trace.
+    """
+    mesh = _FLASH_MESH
+    if mesh is None:
+        return None
+    try:
+        first = next(iter(mesh.devices.flat))
+        live = set(jax.devices(first.platform))
+    except (RuntimeError, StopIteration):
+        live = set()
+    return mesh if set(mesh.devices.flat) <= live else None
+
+
 def _pad_to(x: jax.Array, target: int, axis: int) -> jax.Array:
     pad = target - x.shape[axis]
     if pad <= 0:
@@ -75,17 +94,7 @@ def flash_mha(
     the SPMD form of the NCCL-free DDP/FSDP batch split (attention itself
     needs no collectives).
     """
-    mesh = _FLASH_MESH
-    if mesh is not None:
-        # a registered mesh whose devices are no longer live (backend
-        # reinit, tests switching platforms) must not capture this trace
-        try:
-            first = next(iter(mesh.devices.flat))
-            live = set(jax.devices(first.platform))
-        except (RuntimeError, StopIteration):
-            live = set()
-        if not set(mesh.devices.flat) <= live:
-            mesh = None
+    mesh = get_flash_mesh()
     B = q.shape[0]
     if mesh is not None and mesh.size > 1 and B % mesh.size == 0:
         from jax.experimental.shard_map import shard_map

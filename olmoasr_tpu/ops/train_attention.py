@@ -1,26 +1,36 @@
-"""Training-shape self-attention Pallas kernels (encoder hot path).
+"""Training-shape attention Pallas kernels (whisper encoder/decoder shapes).
 
-Why not the stock flash kernel: the whisper encoder trains at
-(B~16, H=16, T=1500, d_head=64). Measured on v5e (perf/r3_probe_attn2.log)
-the generic Pallas flash kernel runs this at ~33 TF/s fwd and ~9 TF/s-equiv
-fwd+bwd (d=64 caps the MXU at 50% of peak, and the online-softmax
-bookkeeping + separate dkv/dq backward passes eat the rest), and under
-``jax.checkpoint`` its custom VJP re-runs the whole forward to regenerate
-softmax stats — three kernel executions per layer per step.
+Why not the stock flash kernel: whisper trains at d_head=64 with fixed
+sequence lengths (encoder 1500, decoder 448 queries over 448/1500 keys).
+Measured on v5e (perf/r3_probe_attn2.log) the generic Pallas flash kernel
+runs the encoder shape at ~33 TF/s fwd and ~9 TF/s-equiv fwd+bwd (d=64 caps
+the MXU at 50% of peak, and the online-softmax bookkeeping + separate
+dkv/dq backward passes eat the rest), and under ``jax.checkpoint`` its
+custom VJP re-runs the whole forward to regenerate softmax stats — three
+kernel executions per layer per step.
 
-This kernel is specialized to the non-causal, fixed-length encoder shape:
+These kernels are specialized to the fixed-length training shapes:
 
-- one-pass softmax: the full key row (T<=1536) fits VMEM, so each q block
+- one-pass softmax: the full key row (Tk <= 1536) fits VMEM, so each q block
   computes max/sum in one sweep — no online rescale corrections, no
   (…, 128)-padded stats tensors in HBM;
-- static pad masking: 1500 -> 1536 padding is the same for every sample, a
-  (1, T) additive bias vector replaces per-block segment-id compares;
-- fused single-pass backward: one kernel produces dq, dk, dv, recomputing
+- static pad masking: 1500 -> 1536 (and 448 -> 512) padding is the same for
+  every sample — a (1, Tk) additive bias vector replaces per-block
+  segment-id compares; per-sample key padding (decoder text) rides the same
+  bias as a (B, Tk) input;
+- causal masking (decoder self) from block-offset iota compares;
+- fused single-pass backward: ONE kernel produces dq, dk, dv, recomputing
   probabilities once (vs the stock kernel's separate dkv + dq passes, each
   re-doing the softmax);
 - residuals are just (q, k, v): under any remat policy the backward needs no
   forward re-run (no stats to regenerate), so the ``attn``-policy recompute
   shrinks from a full flash forward to three cheap projections.
+
+Measured v5e, encoder shape (B=16, T=1500, D=1024, H=16,
+perf/r3_probe_trainattn1.log): fwd+bwd 8.8 ms vs stock flash 18.3 ms; grads
+within the bf16 noise band of XLA sdpa (rel <= 2e-2). End-to-end medium.en
+bs16 train: encoder kernel 4882 -> 5622 tok/s, + decoder self/cross kernels
+5851 tok/s / 0.346 MFU (perf/r3_decattn1.log, /tmp repro 2026-08-17).
 
 Matches torch SDPA attention math (reference olmoasr/model.py:330-340):
 scale q by d_head**-0.5 (0.125 — exact in bf16), softmax in fp32, probs cast
@@ -31,12 +41,14 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
 
 
 def _round128(t: int) -> int:
@@ -52,19 +64,14 @@ def _dividing_block(block: int, total: int) -> int:
     return max(b, 128)
 
 
-# ---------------------------------------------------------------------------
-# forward
-# ---------------------------------------------------------------------------
-
-
 def _bf16_exp() -> bool:
     # read at trace time (note: flipping the env after a shape has been
     # jit-cached will not retrace — use a fresh process when sweeping)
     return os.environ.get("OLMOASR_ATTN_BF16_EXP", "0") == "1"
 
 
-def _softmax_rows(s: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """(unnormalized probs bf16, row sums f32) of a (rows, T) f32 score block.
+def _softmax_rows(s: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(probs f32, probs bf16, row sums f32) of a (rows, Tk) f32 score block.
 
     OLMOASR_ATTN_BF16_EXP=1 runs the exp in bf16 (2 elements/VPU lane): after
     the fp32 max-subtract the argument is <= 0 and the softmax is dominated
@@ -73,57 +80,89 @@ def _softmax_rows(s: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """
     m = jnp.max(s, axis=-1, keepdims=True)
     if _bf16_exp():
-        p = jnp.exp((s - m).astype(jnp.bfloat16))
-        return p, jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+        pb = jnp.exp((s - m).astype(jnp.bfloat16))
+        return pb.astype(jnp.float32), pb, jnp.sum(
+            pb, axis=-1, keepdims=True, dtype=jnp.float32
+        )
     p = jnp.exp(s - m)
-    return p.astype(jnp.bfloat16), jnp.sum(p, axis=-1, keepdims=True)
+    return p, p.astype(jnp.bfloat16), jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-    # q: (BQ, dh) bf16, k/v: (T, dh) bf16, bias: (1, T) f32, o: (BQ, dh)
-    q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BQ, T)
-    s = s + bias_ref[:]
-    p, l = _softmax_rows(s)
-    o = jax.lax.dot_general(
-        p, v_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BQ, dh)
-    o_ref[0] = (o / l).astype(o_ref.dtype)
+def _mask_block(s: jax.Array, causal: bool, bq: int) -> jax.Array:
+    """Apply the causal mask to a (BQ, Tk) score block at q offset i*BQ."""
+    if not causal:
+        return s
+    i = pl.program_id(1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * bq
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(cols > rows, jnp.float32(NEG), s)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
-def _enc_attn_fwd(
-    q: jax.Array,  # (N, T, dh) bf16, q pre-scaled
-    k: jax.Array,  # (N, T, dh)
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _make_fwd_kernel(causal: bool, bq: int):
+    def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+        # q: (1, BQ, dh) bf16, k/v: (1, Tk, dh) bf16, bias: (1, 1, Tk) f32
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, Tk)
+        s = _mask_block(s + bias_ref[0], causal, bq)
+        _, pb, l = _softmax_rows(s)
+        o = jax.lax.dot_general(
+            pb, v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, dh)
+        o_ref[0] = (o / l).astype(o_ref.dtype)
+
+    return _fwd_kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "causal", "block_q", "interpret")
+)
+def _attn_fwd(
+    q: jax.Array,  # (N, Tq, dh) bf16, q pre-scaled
+    k: jax.Array,  # (N, Tk, dh)
     v: jax.Array,
-    bias: jax.Array,  # (1, T) f32 additive (0 valid, -1e9 pad)
+    bias: jax.Array,  # (Bb, Tk) f32 additive; Bb in {1, B}
+    n_head: int,
     *,
+    causal: bool = False,
     block_q: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    N, T, dh = q.shape
-    bq = _dividing_block(block_q, T)
-    grid = (N, T // bq)
+    N, Tq, dh = q.shape
+    Tk = k.shape[1]
+    Bb = bias.shape[0]
+    bq = _dividing_block(block_q, Tq)
+    grid = (N, Tq // bq)
+    # bias rides as (Bb, 1, Tk): Mosaic requires the last two block dims to
+    # equal the array dims (or be 8/128-divisible), which a (1, Tk) slice of
+    # a (B, Tk) array is not
+    bias3 = bias[:, None, :]
+    bias_ix = (
+        (lambda n, i: (0, 0, 0)) if Bb == 1
+        else (lambda n, i: (n // n_head, 0, 0))
+    )
     return pl.pallas_call(
-        _fwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((N, T, dh), q.dtype),
+        _make_fwd_kernel(causal, bq),
+        out_shape=jax.ShapeDtypeStruct((N, Tq, dh), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, dh), lambda n, i: (n, i, 0)),
-            pl.BlockSpec((1, T, dh), lambda n, i: (n, 0, 0)),
-            pl.BlockSpec((1, T, dh), lambda n, i: (n, 0, 0)),
-            pl.BlockSpec((1, T), lambda n, i: (0, 0)),
+            pl.BlockSpec((1, Tk, dh), lambda n, i: (n, 0, 0)),
+            pl.BlockSpec((1, Tk, dh), lambda n, i: (n, 0, 0)),
+            pl.BlockSpec((1, 1, Tk), bias_ix),
         ],
         out_specs=pl.BlockSpec((1, bq, dh), lambda n, i: (n, i, 0)),
         interpret=interpret,
-    )(q, k, v, bias)
+    )(q, k, v, bias3)
 
 
 # ---------------------------------------------------------------------------
@@ -131,85 +170,97 @@ def _enc_attn_fwd(
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(
-    q_ref, k_ref, v_ref, do_ref, bias_ref,
-    dq_ref, dk_ref, dv_ref,
-    dk_acc, dv_acc,
-):
-    i = pl.program_id(1)
-    nq = pl.num_programs(1)
+def _make_bwd_kernel(causal: bool, bq: int):
+    def _bwd_kernel(
+        q_ref, k_ref, v_ref, do_ref, bias_ref,
+        dq_ref, dk_ref, dv_ref,
+        dk_acc, dv_acc,
+    ):
+        i = pl.program_id(1)
+        nq = pl.num_programs(1)
 
-    @pl.when(i == 0)
-    def _():
-        dk_acc[:] = jnp.zeros_like(dk_acc)
-        dv_acc[:] = jnp.zeros_like(dv_acc)
+        @pl.when(i == 0)
+        def _():
+            dk_acc[:] = jnp.zeros_like(dk_acc)
+            dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0]  # (BQ, dh) pre-scaled
-    k = k_ref[0]  # (T, dh)
-    v = v_ref[0]
-    do = do_ref[0]  # (BQ, dh)
+        q = q_ref[0]  # (BQ, dh) pre-scaled
+        k = k_ref[0]  # (Tk, dh)
+        v = v_ref[0]
+        do = do_ref[0]  # (BQ, dh)
 
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    s = s + bias_ref[:]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    pn = p / l  # normalized probs (BQ, T) f32
-    pnb = pn.astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = _mask_block(s + bias_ref[0], causal, bq)
+        pn, pnb, l = _softmax_rows(s)
+        pn = pn / l
+        pnb = pn.astype(jnp.bfloat16)
 
-    dp = jax.lax.dot_general(
-        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BQ, T)
-    delta = jnp.sum(dp * pn, axis=-1, keepdims=True)  # (BQ, 1)
-    ds = (pn * (dp - delta)).astype(jnp.bfloat16)  # (BQ, T)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, Tk)
+        delta = jnp.sum(dp * pn, axis=-1, keepdims=True)  # (BQ, 1)
+        ds = (pn * (dp - delta)).astype(jnp.bfloat16)  # (BQ, Tk)
 
-    dq_ref[0] = jax.lax.dot_general(
-        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dq_ref.dtype)  # (BQ, dh); caller rescales by sm_scale
+        dq_ref[0] = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)  # (BQ, dh); caller rescales by sm_scale
 
-    dk_acc[:] += jax.lax.dot_general(
-        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (T, dh)
-    dv_acc[:] += jax.lax.dot_general(
-        pnb, do, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (T, dh)
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tk, dh)
+        dv_acc[:] += jax.lax.dot_general(
+            pnb, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tk, dh)
 
-    @pl.when(i == nq - 1)
-    def _():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+        @pl.when(i == nq - 1)
+        def _():
+            dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+            dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+    return _bwd_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
-def _enc_attn_bwd(
-    q: jax.Array,  # (N, T, dh) pre-scaled
-    k: jax.Array,
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "causal", "block_q", "interpret")
+)
+def _attn_bwd(
+    q: jax.Array,  # (N, Tq, dh) pre-scaled
+    k: jax.Array,  # (N, Tk, dh)
     v: jax.Array,
-    do: jax.Array,
-    bias: jax.Array,  # (1, T)
+    do: jax.Array,  # (N, Tq, dh)
+    bias: jax.Array,  # (Bb, Tk)
+    n_head: int,
     *,
+    causal: bool = False,
     block_q: int = 256,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    N, T, dh = q.shape
-    bq = _dividing_block(block_q, T)
-    grid = (N, T // bq)
+    N, Tq, dh = q.shape
+    Tk = k.shape[1]
+    Bb = bias.shape[0]
+    bq = _dividing_block(block_q, Tq)
+    grid = (N, Tq // bq)
     out_shapes = (
-        jax.ShapeDtypeStruct((N, T, dh), q.dtype),  # dq (pre-scale basis)
-        jax.ShapeDtypeStruct((N, T, dh), k.dtype),  # dk
-        jax.ShapeDtypeStruct((N, T, dh), v.dtype),  # dv
+        jax.ShapeDtypeStruct((N, Tq, dh), q.dtype),  # dq (pre-scale basis)
+        jax.ShapeDtypeStruct((N, Tk, dh), k.dtype),  # dk
+        jax.ShapeDtypeStruct((N, Tk, dh), v.dtype),  # dv
     )
-    kv_spec = pl.BlockSpec((1, T, dh), lambda n, i: (n, 0, 0))
+    kv_spec = pl.BlockSpec((1, Tk, dh), lambda n, i: (n, 0, 0))
     qblk_spec = pl.BlockSpec((1, bq, dh), lambda n, i: (n, i, 0))
+    bias3 = bias[:, None, :]  # (Bb, 1, Tk) — see _attn_fwd
+    bias_ix = (
+        (lambda n, i: (0, 0, 0)) if Bb == 1
+        else (lambda n, i: (n // n_head, 0, 0))
+    )
     return pl.pallas_call(
-        _bwd_kernel,
+        _make_bwd_kernel(causal, bq),
         out_shape=out_shapes,
         grid=grid,
         in_specs=[
@@ -217,19 +268,19 @@ def _enc_attn_bwd(
             kv_spec,    # k
             kv_spec,    # v
             qblk_spec,  # do
-            pl.BlockSpec((1, T), lambda n, i: (0, 0)),  # bias
+            pl.BlockSpec((1, 1, Tk), bias_ix),
         ],
         out_specs=(qblk_spec, kv_spec, kv_spec),
         scratch_shapes=[
-            pltpu.VMEM((T, dh), jnp.float32),  # dk accumulator
-            pltpu.VMEM((T, dh), jnp.float32),  # dv accumulator
+            pltpu.VMEM((Tk, dh), jnp.float32),  # dk accumulator
+            pltpu.VMEM((Tk, dh), jnp.float32),  # dv accumulator
         ],
         interpret=interpret,
-    )(q, k, v, do, bias)
+    )(q, k, v, do, bias3)
 
 
 # ---------------------------------------------------------------------------
-# public entry: (B, T, D) -> (B, T, D), custom VJP, residuals = (q, k, v)
+# public entries: (B, T, D) -> (B, T, D), custom VJP, residuals = (q, k, v)
 # ---------------------------------------------------------------------------
 
 
@@ -250,27 +301,132 @@ def _merge(x: jax.Array, n_head: int, B: int) -> jax.Array:
     )
 
 
-def _prep(q, k, v, n_head, interpret):
-    B, T, D = q.shape
+def _pad_t(x: jax.Array, t_pad: int) -> jax.Array:
+    if x.shape[1] == t_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
+
+
+def _prep(q, k, v, n_head, key_bias):
+    """Split heads, pad to 128-multiples, build the (Bb, Tk_pad) bias."""
+    B, Tq, D = q.shape
+    Tk = k.shape[1]
     dh = D // n_head
-    T_pad = _round128(T)
+    Tq_pad, Tk_pad = _round128(Tq), _round128(Tk)
     scale = dh ** -0.5  # 0.125 for dh=64: exact in bf16
 
-    def pad_t(x):
-        if T_pad == T:
-            return x
-        return jnp.pad(x, ((0, 0), (0, T_pad - T), (0, 0)))
+    qh = _pad_t(_split(q, n_head) * jnp.asarray(scale, q.dtype), Tq_pad)
+    kh = _pad_t(_split(k, n_head), Tk_pad)
+    vh = _pad_t(_split(v, n_head), Tk_pad)
+    pad_bias = jnp.where(jnp.arange(Tk_pad)[None, :] < Tk, 0.0, NEG).astype(
+        jnp.float32
+    )  # (1, Tk_pad)
+    if key_bias is not None:
+        bias = (
+            jnp.pad(key_bias.astype(jnp.float32), ((0, 0), (0, Tk_pad - Tk)))
+            + pad_bias
+        )  # (B, Tk_pad); -inf in the loader's mask must not become NaN
+        bias = jnp.maximum(bias, NEG)
+    else:
+        bias = pad_bias
+    return qh, kh, vh, bias, (Tq_pad, Tk_pad, scale)
 
-    qh = _split(q, n_head) * jnp.asarray(scale, q.dtype)
-    kh, vh = _split(k, n_head), _split(v, n_head)
-    qh, kh, vh = pad_t(qh), pad_t(kh), pad_t(vh)
-    bias = jnp.where(
-        jnp.arange(T_pad)[None, :] < T, 0.0, -1e9
-    ).astype(jnp.float32)  # (1, T_pad)
-    return qh, kh, vh, bias, T_pad, scale
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _train_attention(
+    q: jax.Array,  # (B, Tq, D)
+    k: jax.Array,  # (B, Tk, D)
+    v: jax.Array,
+    n_head: int,
+    causal: bool = False,
+    interpret: bool = False,
+    key_bias: Optional[jax.Array] = None,  # (B, Tk) additive
+) -> jax.Array:
+    out, _ = _attn_fwd_res(q, k, v, n_head, causal, interpret, key_bias)
+    return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attn_fwd_res(q, k, v, n_head, causal, interpret, key_bias=None):
+    B, Tq, D = q.shape
+    qh, kh, vh, bias, (Tq_pad, _, _) = _prep(q, k, v, n_head, key_bias)
+    o = _attn_fwd(qh, kh, vh, bias, n_head, causal=causal, interpret=interpret)
+    return _merge(o[:, :Tq], n_head, B), (q, k, v, key_bias)
+
+
+def _attn_bwd_res(n_head, causal, interpret, res, g):
+    q, k, v, key_bias = res
+    B, Tq, D = q.shape
+    Tk = k.shape[1]
+    qh, kh, vh, bias, (Tq_pad, _, scale) = _prep(q, k, v, n_head, key_bias)
+    doh = _pad_t(_split(g.astype(q.dtype), n_head), Tq_pad)
+    dqh, dkh, dvh = _attn_bwd(
+        qh, kh, vh, doh, bias, n_head, causal=causal, interpret=interpret
+    )
+    s = jnp.asarray(scale, q.dtype)
+    dq = _merge(dqh[:, :Tq], n_head, B) * s  # d(q*scale)/dq
+    dk = _merge(dkh[:, :Tk], n_head, B)
+    dv = _merge(dvh[:, :Tk], n_head, B)
+    dbias = None if key_bias is None else jnp.zeros_like(key_bias)
+    return dq, dk, dv, dbias
+
+
+_train_attention.defvjp(_attn_fwd_res, _attn_bwd_res)
+
+
+def train_attention(
+    q: jax.Array,  # (B, Tq, D)
+    k: jax.Array,  # (B, Tk, D)
+    v: jax.Array,
+    n_head: int,
+    causal: bool = False,
+    interpret: bool = False,
+    key_bias: Optional[jax.Array] = None,  # (B, Tk) additive
+) -> jax.Array:
+    """Fused training attention (see module docstring).
+
+    Covers all three whisper training attentions: encoder self
+    (non-causal), decoder self (causal + per-sample key bias), decoder
+    cross (448 queries over 1500 keys, no mask).
+
+    Under a registered multi-device mesh (ops/flash.py::set_flash_mesh,
+    installed by the trainer) the kernel runs inside ``shard_map`` with the
+    batch dim sharded over every mesh axis — attention is batch-parallel,
+    so each device runs on its local shard with no collectives (same SPMD
+    rule as flash_mha; Pallas kernels define no partitioning rule of their
+    own, so without this XLA would all-gather the full batch onto every
+    chip).
+    """
+    from olmoasr_tpu.ops.flash import get_flash_mesh
+
+    mesh = get_flash_mesh()
+    B = q.shape[0]
+    if mesh is not None and mesh.size > 1 and B % mesh.size == 0:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(mesh.axis_names)
+        b = P(axes, None, None)
+        if key_bias is None:
+            def local3(qq, kk, vv):
+                return _train_attention(qq, kk, vv, n_head, causal, interpret)
+
+            return shard_map(
+                local3, mesh=mesh, in_specs=(b, b, b), out_specs=b,
+                check_rep=False,
+            )(q, k, v)
+
+        def local4(qq, kk, vv, kb):
+            return _train_attention(
+                qq, kk, vv, n_head, causal, interpret, kb
+            )
+
+        return shard_map(
+            local4, mesh=mesh, in_specs=(b, b, b, P(axes, None)),
+            out_specs=b, check_rep=False,
+        )(q, k, v, key_bias)
+    return _train_attention(q, k, v, n_head, causal, interpret, key_bias)
+
+
 def enc_self_attention(
     q: jax.Array,  # (B, T, D)
     k: jax.Array,
@@ -278,38 +434,18 @@ def enc_self_attention(
     n_head: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Non-causal self-attention for training (encoder 1500-position shape).
-
-    Whisper SDPA semantics (reference olmoasr/model.py:330-340): fp32
-    softmax, bf16 value contraction. Backward is a single fused Pallas pass;
-    residuals are (q, k, v) only, so remat policies never re-run the forward
-    kernel. Falls back to this same math under ``interpret=True`` on CPU.
-    """
-    out, _ = _enc_fwd_res(q, k, v, n_head, interpret)
-    return out
+    """Non-causal self-attention (encoder 1500-position training shape)."""
+    return train_attention(q, k, v, n_head, False, interpret)
 
 
-def _enc_fwd_res(q, k, v, n_head, interpret):
-    B, T, D = q.shape
-    qh, kh, vh, bias, T_pad, _ = _prep(q, k, v, n_head, interpret)
-    o = _enc_attn_fwd(qh, kh, vh, bias, interpret=interpret)
-    o = _merge(o[:, :T], n_head, B)
-    return o, (q, k, v)
+def dec_self_attention(
+    q, k, v, n_head: int, key_bias=None, interpret: bool = False
+):
+    """Causal decoder self-attention with the loader's per-key pad bias."""
+    return train_attention(q, k, v, n_head, True, interpret, key_bias)
 
 
-def _enc_bwd_res(n_head, interpret, res, g):
-    q, k, v = res
-    B, T, D = q.shape
-    qh, kh, vh, bias, T_pad, scale = _prep(q, k, v, n_head, interpret)
-    doh = _split(g.astype(q.dtype), n_head)
-    if T_pad != T:
-        doh = jnp.pad(doh, ((0, 0), (0, T_pad - T), (0, 0)))
-    dqh, dkh, dvh = _enc_attn_bwd(qh, kh, vh, doh, bias, interpret=interpret)
-    s = jnp.asarray(scale, q.dtype)
-    dq = _merge(dqh[:, :T], n_head, B) * s  # d(q*scale)/dq
-    dk = _merge(dkh[:, :T], n_head, B)
-    dv = _merge(dvh[:, :T], n_head, B)
-    return dq, dk, dv
-
-
-enc_self_attention.defvjp(_enc_fwd_res, _enc_bwd_res)
+def cross_attention(q, k, v, n_head: int, interpret: bool = False):
+    """Decoder cross-attention: Tq text queries over Tk audio keys, no mask
+    (reference model.py cross attention has no mask)."""
+    return train_attention(q, k, v, n_head, False, interpret)

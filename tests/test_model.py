@@ -182,3 +182,36 @@ def test_self_ring_quantization(tiny_params):
     for i in range(4, 8):
         logits, cache = m.decode_step(tiny_params, TINY_DIMS, toks[:, i:i+1], cache)
         assert bool(jnp.all(jnp.argmax(logits[:, 0], -1) == jnp.argmax(full[:, i], -1)))
+
+
+def test_decode_train_kernel_path_matches_default(tiny_params, monkeypatch):
+    """OLMOASR_DEC_ATTN=kernel_interpret (the Pallas decoder training kernels,
+    interpret mode) must match the XLA path on both the no-mask and the
+    compact (B, T) key-bias forms."""
+    key = jax.random.PRNGKey(7)
+    mel = jax.random.normal(key, (2, TINY_DIMS.n_mels, TINY_DIMS.n_audio_ctx * 2))
+    audio = m.encode_audio(tiny_params, TINY_DIMS, mel, compute_dtype=jnp.float32)
+    audio = audio.astype(jnp.bfloat16)
+    T = TINY_DIMS.n_text_ctx
+    toks = jax.random.randint(key, (2, T), 0, TINY_DIMS.n_vocab)
+    kb = np.zeros((2, T), np.float32)
+    kb[0, T - 3:] = -np.inf
+    kb[1, T - 6:] = -np.inf
+
+    ref_nomask = m.decode_train(tiny_params, TINY_DIMS, toks, audio)
+    ref_bias = m.decode_train(
+        tiny_params, TINY_DIMS, toks, audio, jnp.asarray(kb)
+    )
+    monkeypatch.setenv("OLMOASR_DEC_ATTN", "kernel_interpret")
+    out_nomask = m.decode_train(tiny_params, TINY_DIMS, toks, audio)
+    out_bias = m.decode_train(
+        tiny_params, TINY_DIMS, toks, audio, jnp.asarray(kb)
+    )
+    # bf16 activations: compare logits within the bf16 noise band
+    np.testing.assert_allclose(
+        np.asarray(out_nomask), np.asarray(ref_nomask), atol=0.15
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_bias[:, : T - 6]), np.asarray(ref_bias[:, : T - 6]),
+        atol=0.15,
+    )

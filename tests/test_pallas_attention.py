@@ -533,3 +533,140 @@ class TestTrainAttentionKernel:
             np.testing.assert_allclose(
                 np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-5
             )
+
+
+class TestDecoderTrainAttentionKernels:
+    """ops/train_attention.py decoder variants: causal self-attention with the
+    loader's per-sample key bias, and 448q-over-1500k cross-attention."""
+
+    def _mk(self, B, Tq, Tk, D, seed=0):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.standard_normal((B, Tq, D)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((B, Tk, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, Tk, D)), jnp.bfloat16)
+        return q, k, v
+
+    @staticmethod
+    def _causal_mask(T):
+        return jnp.triu(jnp.full((T, T), -jnp.inf, jnp.float32), k=1)[None, None]
+
+    @pytest.mark.parametrize("B,T,D,H", [(2, 300, 128, 2), (1, 448, 256, 4)])
+    def test_causal_self_with_key_bias(self, B, T, D, H):
+        from olmoasr_tpu.ops.train_attention import dec_self_attention
+
+        q, k, v = self._mk(B, T, T, D)
+        # loader-style suffix pad columns (-inf), different length per sample
+        kb = np.zeros((B, T), np.float32)
+        for b in range(B):
+            kb[b, T - 10 * (b + 1):] = -np.inf
+        kb = jnp.asarray(kb)
+        ref = np.asarray(
+            sdpa(q, k, v, H, self._causal_mask(T), kb), np.float32
+        )
+        out = np.asarray(
+            dec_self_attention(q, k, v, H, key_bias=kb, interpret=True),
+            np.float32,
+        )
+        # compare only valid rows (pad-query rows are garbage-in/garbage-out
+        # in both paths but normalized differently)
+        n_valid = T - 10 * B
+        assert np.max(np.abs(ref[:, :n_valid] - out[:, :n_valid])) < 0.05
+
+    def test_causal_self_no_bias_grads(self):
+        from olmoasr_tpu.ops.train_attention import dec_self_attention
+
+        B, T, D, H = 2, 300, 128, 2
+        q, k, v = self._mk(B, T, T, D)
+
+        def loss(att):
+            return lambda *a: jnp.sum(att(*a).astype(jnp.float32) ** 2)
+
+        mask = self._causal_mask(T)
+        gr = jax.grad(loss(lambda q, k, v: sdpa(q, k, v, H, mask)), (0, 1, 2))(
+            q, k, v
+        )
+        gn = jax.grad(
+            loss(lambda q, k, v: dec_self_attention(q, k, v, H, interpret=True)),
+            (0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(gr, gn):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+            assert rel < 0.05
+
+    def test_cross_fwd_and_grads(self):
+        from olmoasr_tpu.ops.train_attention import cross_attention
+
+        B, Tq, Tk, D, H = 2, 448, 300, 128, 2
+        q, k, v = self._mk(B, Tq, Tk, D)
+        ref = np.asarray(sdpa(q, k, v, H, None), np.float32)
+        out = np.asarray(cross_attention(q, k, v, H, interpret=True), np.float32)
+        assert np.max(np.abs(ref - out)) < 0.05
+
+        def loss(att):
+            return lambda *a: jnp.sum(att(*a).astype(jnp.float32) ** 2)
+
+        gr = jax.grad(loss(lambda q, k, v: sdpa(q, k, v, H, None)), (0, 1, 2))(
+            q, k, v
+        )
+        gn = jax.grad(
+            loss(lambda q, k, v: cross_attention(q, k, v, H, interpret=True)),
+            (0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(gr, gn):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+            assert rel < 0.05
+
+    def test_shard_map_multidevice_matches(self):
+        """train_attention under a registered 8-device mesh shards the batch
+        through shard_map (same SPMD rule as flash_mha); fwd + grads of the
+        interpret-mode kernel must equal the single-device result."""
+        from olmoasr_tpu.ops import flash as flash_mod
+        from olmoasr_tpu.ops.train_attention import dec_self_attention
+        from olmoasr_tpu.parallel import mesh as mesh_mod
+
+        B, T, D, H = 8, 256, 128, 2
+        q, k, v = self._mk(B, T, T, D)
+        kb = np.zeros((B, T), np.float32)
+        kb[:, T - 16:] = -np.inf
+        kb = jnp.asarray(kb)
+
+        def loss(qq):
+            return jnp.sum(
+                dec_self_attention(
+                    qq, k, v, H, key_bias=kb, interpret=True
+                ).astype(jnp.float32) ** 2
+            )
+
+        ref = dec_self_attention(q, k, v, H, key_bias=kb, interpret=True)
+        g_ref = jax.grad(loss)(q)
+        mesh = mesh_mod.make_mesh(2, 4)
+        flash_mod.set_flash_mesh(mesh)
+        try:
+            out = dec_self_attention(q, k, v, H, key_bias=kb, interpret=True)
+            g = jax.grad(loss)(q)
+        finally:
+            flash_mod.set_flash_mesh(None)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(g_ref, np.float32), atol=1e-3
+        )
+
+    def test_key_bias_gets_zero_grad_not_crash(self):
+        from olmoasr_tpu.ops.train_attention import dec_self_attention
+
+        B, T, D, H = 1, 256, 128, 2
+        q, k, v = self._mk(B, T, T, D)
+        kb = jnp.zeros((B, T), jnp.float32)
+
+        def loss(kb):
+            return jnp.sum(
+                dec_self_attention(q, k, v, H, key_bias=kb, interpret=True)
+                .astype(jnp.float32) ** 2
+            )
+
+        g = jax.grad(loss)(kb)
+        assert np.allclose(np.asarray(g), 0.0)
