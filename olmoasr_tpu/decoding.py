@@ -608,6 +608,200 @@ def _decode_beam_jit(
 
 
 # ---------------------------------------------------------------------------
+# multi-chip batched inference: SPMD decode over a device mesh
+# ---------------------------------------------------------------------------
+
+_INFER_MESH = None
+_INFER_MESH_AUTO_TRIED = False
+_SHARDED_DECODE_CACHE: dict = {}
+
+
+def set_infer_mesh(mesh) -> None:
+    """Register (or clear, with None) the mesh batched decoding shards over.
+
+    SURVEY §5 long-context story — batched multi-window decoding ACROSS
+    chips: with a mesh registered, ``decode`` runs the entire decode program
+    (audio encode + prompt prefill + sampling loop) inside ``shard_map``,
+    window batch sharded over every mesh axis, params replicated. Decoding is
+    embarrassingly batch-parallel (reference evidence that eval decodes
+    batches across devices: scripts/eval/eval.py:1845-1847), so each chip
+    runs the normal single-chip kernel stack on its local windows with zero
+    collectives on the hot path; the sampling loop's early exit moves
+    on-device (``lax.while_loop`` over chunk scans, exiting per chip) so the
+    mesh path has NO host round-trips at all — the single-chip path pays one
+    per chunk.
+    """
+    global _INFER_MESH
+    _INFER_MESH = mesh
+    _SHARDED_DECODE_CACHE.clear()
+
+
+def _usable_infer_mesh(batch: int):
+    """The registered (or auto-created) mesh if it can shard ``batch``."""
+    global _INFER_MESH, _INFER_MESH_AUTO_TRIED
+    mesh = _INFER_MESH
+    if mesh is None and not _INFER_MESH_AUTO_TRIED:
+        # OLMOASR_INFER_MESH=auto (default): on a multi-chip TPU host, shard
+        # batched decode over all local devices without any caller opt-in —
+        # transcribe_many, the eval harness, and serve.py all inherit it.
+        _INFER_MESH_AUTO_TRIED = True
+        if (
+            os.environ.get("OLMOASR_INFER_MESH", "auto") == "auto"
+            and jax.default_backend() == "tpu"
+            and len(jax.devices()) > 1
+        ):
+            from olmoasr_tpu.parallel.mesh import make_mesh
+
+            mesh = _INFER_MESH = make_mesh(len(jax.devices()), 1)
+    if mesh is None:
+        return None
+    # stale-device guard (tests switch platforms; backend reinit)
+    try:
+        first = next(iter(mesh.devices.flat))
+        live = set(jax.devices(first.platform))
+    except (RuntimeError, StopIteration):
+        live = set()
+    if not set(mesh.devices.flat) <= live:
+        return None
+    if mesh.size <= 1 or batch % mesh.size != 0:
+        return None
+    return mesh
+
+
+def _chunk_schedule(sample_len: int, chunk: int):
+    """(chunk_len, n_chunks) with chunk_len * n_chunks == sample_len exactly
+    (the on-device loop must not run steps past sample_len: they would keep
+    accumulating sum_logprobs on unfinished rows)."""
+    if chunk <= 0 or sample_len % chunk:
+        return sample_len, 1
+    return chunk, sample_len // chunk
+
+
+def _sharded_greedy_fn(
+    mesh, dims, cfg, sample_len, prompt_len, sot_index, compute_dtype,
+    kv_quant, greedy_only, chunk,
+):
+    key = (
+        "greedy", mesh, dims, cfg, sample_len, prompt_len, sot_index,
+        jnp.dtype(compute_dtype).name, kv_quant, greedy_only, chunk,
+    )
+    fn = _SHARDED_DECODE_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    sizes = [mesh.shape[a] for a in axes]
+    bsp = P(axes)
+    chunk_eff, n_chunks = _chunk_schedule(sample_len, chunk)
+
+    def body(params, mel, prompt, rng, temperature):
+        # decorrelate sampling across shards (greedy never consumes rng)
+        idx = jnp.int32(0)
+        for a, s in zip(axes, sizes):
+            idx = idx * s + jax.lax.axis_index(a)
+        rng = jax.random.fold_in(rng, idx)
+        carry, probs_at_sot, audio_features = _decode_prefill_jit(
+            params, dims, mel, prompt, cfg, prompt_len, sample_len,
+            sot_index, rng, compute_dtype, kv_quant,
+        )
+
+        def cond(s):
+            c, ci = s
+            return (ci < n_chunks) & ~jnp.all(c[2])
+
+        def chunk_body(s):
+            c, ci = s
+
+            def step(cc, j):
+                return _greedy_step(
+                    cc, ci * chunk_eff + j, params, dims, cfg, temperature,
+                    greedy_only,
+                ), None
+
+            c, _ = jax.lax.scan(step, c, jnp.arange(chunk_eff))
+            return (c, ci + 1)
+
+        carry, _ = jax.lax.while_loop(cond, chunk_body, (carry, jnp.int32(0)))
+        _, tokens, _, sum_logprobs, _, _ = carry
+        return tokens, sum_logprobs, probs_at_sot, audio_features
+
+    fn = jax.jit(
+        shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), bsp, bsp, P(), P()),
+            out_specs=(bsp, bsp, bsp, bsp),
+            check_rep=False,
+        )
+    )
+    _SHARDED_DECODE_CACHE[key] = fn
+    return fn
+
+
+def _sharded_beam_fn(
+    mesh, dims, cfg, sample_len, prompt_len, beam_size, sot_index,
+    compute_dtype, kv_quant, max_candidates, chunk,
+):
+    key = (
+        "beam", mesh, dims, cfg, sample_len, prompt_len, beam_size, sot_index,
+        jnp.dtype(compute_dtype).name, kv_quant, max_candidates, chunk,
+    )
+    fn = _SHARDED_DECODE_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    bsp = P(axes)
+    chunk_eff, n_chunks = _chunk_schedule(sample_len, chunk)
+    K = beam_size
+
+    def body(params, mel, prompt):
+        carry, probs_at_sot, audio_features = _beam_prefill_jit(
+            params, dims, mel, prompt, cfg, sample_len, prompt_len, K,
+            sot_index, compute_dtype, kv_quant=kv_quant,
+            max_candidates=max_candidates,
+        )
+        B_local = mel.shape[0]
+
+        def cond(s):
+            c, ci = s
+            done = jnp.all(c[4].min(axis=1) >= c[2].max(axis=1))
+            return (ci < n_chunks) & ~done
+
+        def chunk_body(s):
+            c, ci = s
+
+            def step(cc, j):
+                return _beam_step(
+                    cc, ci * chunk_eff + j, params, dims, cfg, B_local, K
+                ), None
+
+            c, _ = jax.lax.scan(step, c, jnp.arange(chunk_eff))
+            return (c, ci + 1)
+
+        carry, _ = jax.lax.while_loop(cond, chunk_body, (carry, jnp.int32(0)))
+        (_, tokens, beam_lp, fin_tokens, fin_lp, _, _anc) = carry
+        live_tokens = tokens.reshape(B_local, K, sample_len)
+        all_tokens = jnp.concatenate([fin_tokens, live_tokens], axis=1)
+        all_lp = jnp.concatenate([fin_lp, beam_lp], axis=1)
+        return all_tokens, all_lp, probs_at_sot, audio_features
+
+    fn = jax.jit(
+        shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), bsp, bsp),
+            out_specs=(bsp, bsp, bsp, bsp),
+            check_rep=False,
+        )
+    )
+    _SHARDED_DECODE_CACHE[key] = fn
+    return fn
+
+
+# ---------------------------------------------------------------------------
 # host orchestration: decode()
 # ---------------------------------------------------------------------------
 
@@ -726,10 +920,22 @@ def decode(
         jnp.repeat(prompt_arr, n_groups, axis=0) if n_groups > 1 else prompt_arr
     )
 
-    tokens, sum_logprobs, probs_at_sot, audio_features = _decode_greedy_jit(
-        params, dims, mel, prompt_in, cfg, sample_len, len(prompt), sot_index,
-        jnp.float32(options.temperature), rng, compute_dtype, options.kv_quant,
-    )
+    mesh = _usable_infer_mesh(B)
+    if mesh is not None:
+        fn = _sharded_greedy_fn(
+            mesh, dims, cfg, sample_len, len(prompt), sot_index,
+            compute_dtype, options.kv_quant, options.temperature == 0,
+            int(os.environ.get("OLMOASR_DECODE_CHUNK", "32")),
+        )
+        tokens, sum_logprobs, probs_at_sot, audio_features = fn(
+            params, mel, prompt_in, rng, jnp.float32(options.temperature)
+        )
+    else:
+        tokens, sum_logprobs, probs_at_sot, audio_features = _decode_greedy_jit(
+            params, dims, mel, prompt_in, cfg, sample_len, len(prompt),
+            sot_index, jnp.float32(options.temperature), rng, compute_dtype,
+            options.kv_quant,
+        )
     no_speech_probs = np.asarray(probs_at_sot[:, tokenizer.no_speech])
     tokens_np = np.asarray(tokens).reshape(B, n_groups, sample_len)
     lp_np = np.asarray(sum_logprobs).reshape(B, n_groups)
@@ -760,11 +966,23 @@ def _decode_beam_host(
     sot_index, rng, compute_dtype, single,
 ):
     K = options.beam_size
-    all_tokens, all_lp, probs_at_sot, audio_features = _decode_beam_jit(
-        params, dims, mel, prompt_arr, cfg, sample_len, prompt_arr.shape[1], K,
-        sot_index, rng, compute_dtype, patience=options.patience,
-        kv_quant=options.kv_quant,
-    )
+    mesh = _usable_infer_mesh(mel.shape[0])
+    if mesh is not None:
+        max_candidates = max(int(round(K * (options.patience or 1.0))), 1)
+        fn = _sharded_beam_fn(
+            mesh, dims, cfg, sample_len, prompt_arr.shape[1], K, sot_index,
+            compute_dtype, options.kv_quant, max_candidates,
+            int(os.environ.get("OLMOASR_DECODE_CHUNK", "32")),
+        )
+        all_tokens, all_lp, probs_at_sot, audio_features = fn(
+            params, mel, prompt_arr
+        )
+    else:
+        all_tokens, all_lp, probs_at_sot, audio_features = _decode_beam_jit(
+            params, dims, mel, prompt_arr, cfg, sample_len,
+            prompt_arr.shape[1], K, sot_index, rng, compute_dtype,
+            patience=options.patience, kv_quant=options.kv_quant,
+        )
     B = mel.shape[0]
     no_speech_probs = np.asarray(probs_at_sot[:, tokenizer.no_speech])
     tokens_np = np.asarray(all_tokens)  # (B, 2K, L)
