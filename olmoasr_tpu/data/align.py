@@ -138,7 +138,13 @@ def merge_man_mach_segs(
         audio_start = convert_to_milliseconds(
             seg.audio_timestamp.split("_")[0].replace(",", ".")
         )
-        return audio_start, audio_start + seg.norm_end
+        # norm_end is dual-typed (ms int for no-speech windows, timestamp
+        # string otherwise — the reference's exact convention)
+        norm_ms = (
+            convert_to_milliseconds(seg.norm_end)
+            if isinstance(seg.norm_end, str) else seg.norm_end
+        )
+        return audio_start, audio_start + norm_ms
 
     mach_counter: Optional[SegmentCounter] = None
     mach_segments: List[Optional[MachineSegment]] = [None] * len(man_segments)
