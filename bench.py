@@ -80,10 +80,20 @@ def bench_train():
 
     rng = np.random.default_rng(0)
     T = dims.n_text_ctx
-    batch = {
-        "mel": jnp.asarray(
+    # OLMOASR_DEVICE_MEL=1: feed raw int16 PCM and fold the log-mel into the
+    # step on-device (train.py::loss_fn conv-DFT path)
+    device_mel = os.environ.get("OLMOASR_DEVICE_MEL", "0") == "1"
+    mel_feed = (
+        jnp.asarray(
+            (rng.standard_normal((1, micro_bs, 16000 * 30)) * 3000), jnp.int16
+        )
+        if device_mel
+        else jnp.asarray(
             rng.standard_normal((1, micro_bs, dims.n_mels, 3000)), jnp.float32
-        ),
+        )
+    )
+    batch = {
+        "mel": mel_feed,
         "text_input": jnp.asarray(rng.integers(0, 51864, (1, micro_bs, T)), jnp.int32),
         "text_target": jnp.asarray(rng.integers(0, 51864, (1, micro_bs, T)), jnp.int32),
         "padding_mask": jnp.zeros((1, micro_bs, T), jnp.float32),
@@ -217,7 +227,8 @@ def bench_data():
         Sample(audio=wav, transcript=vtt, transcript_ext="vtt", norm_end=30000)
         for _ in range(n)
     ]
-    ds = AudioTextDataset(samples)
+    device_mel = os.environ.get("OLMOASR_DEVICE_MEL", "0") == "1"
+    ds = AudioTextDataset(samples, device_mel=device_mel)
     loader = BatchLoader(
         ds, micro_batch_size=8, accum_steps=1, shuffle=False,
         num_workers=workers, prefetch=4,
@@ -230,7 +241,11 @@ def bench_data():
         json.dumps(
             {
                 "metric": f"input pipeline throughput ({workers} workers, "
-                "30s segments: npy->mel->tokens->mask)",
+                + (
+                    "30s segments: npy->pcm->tokens->mask, mel on device)"
+                    if device_mel
+                    else "30s segments: npy->mel->tokens->mask)"
+                ),
                 "value": round(count / dt, 1),
                 "unit": "samples/s/host",
                 # vs the 512-segment global batch at a 1s step (the

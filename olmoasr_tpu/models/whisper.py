@@ -396,11 +396,25 @@ def encode_audio(
         use_flash and os.environ.get("OLMOASR_ENC_ATTN", "kernel") == "kernel"
     )
 
+    # kernel path: run the WHOLE layer stack pre-padded to a 128-multiple
+    # (1500 -> 1536) so the attention kernel never re-pads q/k/v per layer —
+    # those pad/unpad HBM copies dominated the leaf copy traffic
+    # (perf/r3_profile_train2.log). Padded positions are bias-masked as keys
+    # in every layer, so no valid position ever reads them; their activations
+    # are garbage-but-isolated and sliced off before ln_post.
+    T_valid = x.shape[1]
+    if use_kernel:
+        T_pad = ((T_valid + 127) // 128) * 128
+        if T_pad != T_valid:
+            x = jnp.pad(x, ((0, 0), (0, T_pad - T_valid), (0, 0)))
+
     def attn_fn(q, k, v):
         if use_kernel:
             from olmoasr_tpu.ops.train_attention import enc_self_attention
 
-            return enc_self_attention(q, k, v, dims.n_audio_head)
+            return enc_self_attention(
+                q, k, v, dims.n_audio_head, valid_len=T_valid
+            )
         if use_flash:
             from olmoasr_tpu.ops.flash import flash_self_attention
 
@@ -421,6 +435,8 @@ def encode_audio(
 
     f = _remat(block_fn, remat)
     x, _ = jax.lax.scan(f, x, enc["blocks"], unroll=_scan_unroll())
+    if use_kernel and x.shape[1] != T_valid:
+        x = x[:, :T_valid]
     return layer_norm(x, enc["ln_post_g"], enc["ln_post_b"])
 
 
@@ -518,6 +534,16 @@ def decode_train(
         )
 
         kb = key_bias  # None -> shared static pad bias only (Bb=1 fast path)
+        # pad the audio features ONCE to a 128-multiple: the per-layer cross
+        # k/v projections then produce pre-aligned tensors and the cross
+        # kernel never pads/unpads (B, 1500, D)-sized operands per layer
+        # (the pad positions are bias-masked keys via valid_len)
+        Ta_valid = audio_features.shape[1]
+        Ta_pad = ((Ta_valid + 127) // 128) * 128
+        if Ta_pad != Ta_valid:
+            audio_features = jnp.pad(
+                audio_features, ((0, 0), (0, Ta_pad - Ta_valid), (0, 0))
+            )
 
         def kernel_block(x, lp, ck, cv):
             h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
@@ -536,7 +562,12 @@ def decode_train(
             h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
             q = _tag_proj(_linear(h, lp["cross_q_w"], lp["cross_q_b"]))
             x = x + _linear(
-                _tag_attn(k_cross(q, ck, cv, n_head, interpret=kernel_interpret)),
+                _tag_attn(
+                    k_cross(
+                        q, ck, cv, n_head, interpret=kernel_interpret,
+                        valid_len=Ta_valid,
+                    )
+                ),
                 lp["cross_o_w"], lp["cross_o_b"],
             )
             h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])

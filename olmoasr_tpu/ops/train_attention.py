@@ -307,18 +307,25 @@ def _pad_t(x: jax.Array, t_pad: int) -> jax.Array:
     return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
 
 
-def _prep(q, k, v, n_head, key_bias):
-    """Split heads, pad to 128-multiples, build the (Bb, Tk_pad) bias."""
+def _prep(q, k, v, n_head, key_bias, valid_len=None):
+    """Split heads, pad to 128-multiples, build the (Bb, Tk_pad) bias.
+
+    ``valid_len``: true key count when the caller ships PRE-padded tensors
+    (encoder runs its whole layer stack at 1536 so these per-layer pads are
+    no-ops — the pad/unpad HBM copies were ~14% of leaf copy traffic in
+    perf/r3_profile_train2.log); keys >= valid_len are bias-masked.
+    """
     B, Tq, D = q.shape
     Tk = k.shape[1]
     dh = D // n_head
     Tq_pad, Tk_pad = _round128(Tq), _round128(Tk)
+    valid = Tk if valid_len is None else valid_len
     scale = dh ** -0.5  # 0.125 for dh=64: exact in bf16
 
     qh = _pad_t(_split(q, n_head) * jnp.asarray(scale, q.dtype), Tq_pad)
     kh = _pad_t(_split(k, n_head), Tk_pad)
     vh = _pad_t(_split(v, n_head), Tk_pad)
-    pad_bias = jnp.where(jnp.arange(Tk_pad)[None, :] < Tk, 0.0, NEG).astype(
+    pad_bias = jnp.where(jnp.arange(Tk_pad)[None, :] < valid, 0.0, NEG).astype(
         jnp.float32
     )  # (1, Tk_pad)
     if key_bias is not None:
@@ -332,7 +339,7 @@ def _prep(q, k, v, n_head, key_bias):
     return qh, kh, vh, bias, (Tq_pad, Tk_pad, scale)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 7))
 def _train_attention(
     q: jax.Array,  # (B, Tq, D)
     k: jax.Array,  # (B, Tk, D)
@@ -341,23 +348,29 @@ def _train_attention(
     causal: bool = False,
     interpret: bool = False,
     key_bias: Optional[jax.Array] = None,  # (B, Tk) additive
+    valid_len: Optional[int] = None,  # true key count of pre-padded inputs
 ) -> jax.Array:
-    out, _ = _attn_fwd_res(q, k, v, n_head, causal, interpret, key_bias)
+    out, _ = _attn_fwd_res(
+        q, k, v, n_head, causal, interpret, key_bias, valid_len
+    )
     return out
 
 
-def _attn_fwd_res(q, k, v, n_head, causal, interpret, key_bias=None):
+def _attn_fwd_res(q, k, v, n_head, causal, interpret, key_bias=None,
+                  valid_len=None):
     B, Tq, D = q.shape
-    qh, kh, vh, bias, (Tq_pad, _, _) = _prep(q, k, v, n_head, key_bias)
+    qh, kh, vh, bias, (Tq_pad, _, _) = _prep(q, k, v, n_head, key_bias,
+                                             valid_len)
     o = _attn_fwd(qh, kh, vh, bias, n_head, causal=causal, interpret=interpret)
     return _merge(o[:, :Tq], n_head, B), (q, k, v, key_bias)
 
 
-def _attn_bwd_res(n_head, causal, interpret, res, g):
+def _attn_bwd_res(n_head, causal, interpret, valid_len, res, g):
     q, k, v, key_bias = res
     B, Tq, D = q.shape
     Tk = k.shape[1]
-    qh, kh, vh, bias, (Tq_pad, _, scale) = _prep(q, k, v, n_head, key_bias)
+    qh, kh, vh, bias, (Tq_pad, _, scale) = _prep(q, k, v, n_head, key_bias,
+                                                 valid_len)
     doh = _pad_t(_split(g.astype(q.dtype), n_head), Tq_pad)
     dqh, dkh, dvh = _attn_bwd(
         qh, kh, vh, doh, bias, n_head, causal=causal, interpret=interpret
@@ -381,6 +394,7 @@ def train_attention(
     causal: bool = False,
     interpret: bool = False,
     key_bias: Optional[jax.Array] = None,  # (B, Tk) additive
+    valid_len: Optional[int] = None,
 ) -> jax.Array:
     """Fused training attention (see module docstring).
 
@@ -408,7 +422,9 @@ def train_attention(
         b = P(axes, None, None)
         if key_bias is None:
             def local3(qq, kk, vv):
-                return _train_attention(qq, kk, vv, n_head, causal, interpret)
+                return _train_attention(
+                    qq, kk, vv, n_head, causal, interpret, None, valid_len
+                )
 
             return shard_map(
                 local3, mesh=mesh, in_specs=(b, b, b), out_specs=b,
@@ -417,14 +433,16 @@ def train_attention(
 
         def local4(qq, kk, vv, kb):
             return _train_attention(
-                qq, kk, vv, n_head, causal, interpret, kb
+                qq, kk, vv, n_head, causal, interpret, kb, valid_len
             )
 
         return shard_map(
             local4, mesh=mesh, in_specs=(b, b, b, P(axes, None)),
             out_specs=b, check_rep=False,
         )(q, k, v, key_bias)
-    return _train_attention(q, k, v, n_head, causal, interpret, key_bias)
+    return _train_attention(
+        q, k, v, n_head, causal, interpret, key_bias, valid_len
+    )
 
 
 def enc_self_attention(
@@ -433,9 +451,14 @@ def enc_self_attention(
     v: jax.Array,
     n_head: int,
     interpret: bool = False,
+    valid_len: Optional[int] = None,
 ) -> jax.Array:
-    """Non-causal self-attention (encoder 1500-position training shape)."""
-    return train_attention(q, k, v, n_head, False, interpret)
+    """Non-causal self-attention (encoder 1500-position training shape).
+
+    ``valid_len``: pass the true position count when the layer stack runs
+    PRE-padded to a 128-multiple (encode_audio pads once after the conv
+    stem instead of this kernel re-padding q/k/v every layer)."""
+    return train_attention(q, k, v, n_head, False, interpret, None, valid_len)
 
 
 def dec_self_attention(
@@ -445,7 +468,9 @@ def dec_self_attention(
     return train_attention(q, k, v, n_head, True, interpret, key_bias)
 
 
-def cross_attention(q, k, v, n_head: int, interpret: bool = False):
+def cross_attention(q, k, v, n_head: int, interpret: bool = False,
+                    valid_len: Optional[int] = None):
     """Decoder cross-attention: Tq text queries over Tk audio keys, no mask
-    (reference model.py cross attention has no mask)."""
-    return train_attention(q, k, v, n_head, False, interpret)
+    (reference model.py cross attention has no mask). ``valid_len``: true
+    audio length when the features arrive pre-padded to a 128-multiple."""
+    return train_attention(q, k, v, n_head, False, interpret, None, valid_len)

@@ -184,12 +184,19 @@ class AudioTextDataset:
         tokenizer: Optional[Tokenizer] = None,
         seed: int = 42,
         only_no_ts_mode: bool = False,
+        device_mel: bool = False,
     ):
         self.samples = [s if isinstance(s, Sample) else Sample(**s) for s in samples]
         self.n_text_ctx = n_text_ctx
         self.tokenizer = tokenizer or get_tokenizer(False)
         self.seed = seed
         self.only_no_ts_mode = only_no_ts_mode
+        # device_mel: emit raw 30s PCM (int16 when the source is int16 —
+        # half the H2D bytes of an f32 mel) under the "mel" key and let the
+        # train step compute the log-mel ON DEVICE via the MXU conv-DFT
+        # (audio.py::_log_mel_jax, ~0.02% of step FLOPs). This removes the
+        # host STFT (the input pipeline's dominant cost) entirely.
+        self.device_mel = device_mel
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -202,6 +209,18 @@ class AudioTextDataset:
             return arr
         if audio.endswith(".npy"):
             return np.load(audio).astype(np.float32) / 32768.0
+        from olmoasr_tpu.audio import load_audio
+
+        return load_audio(audio)
+
+    def _load_audio_raw(self, audio) -> np.ndarray:
+        """Like _load_audio but keeps int16 PCM as int16 (device_mel
+        transport: the /32768 rescale happens on device in _log_mel_jax)."""
+        if isinstance(audio, np.ndarray):
+            return audio if audio.dtype == np.int16 else audio.astype(np.float32)
+        if audio.endswith(".npy"):
+            arr = np.load(audio)
+            return arr if arr.dtype == np.int16 else arr.astype(np.float32)
         from olmoasr_tpu.audio import load_audio
 
         return load_audio(audio)
@@ -222,7 +241,10 @@ class AudioTextDataset:
         s = self.samples[index]
         rng = np.random.default_rng((self.seed, index))
 
-        audio_arr = self._load_audio(s.audio)
+        audio_arr = (
+            self._load_audio_raw(s.audio) if self.device_mel
+            else self._load_audio(s.audio)
+        )
         norm_end = s.norm_end
         if norm_end is None:
             norm_end = int(len(audio_arr) / 16)  # ms at 16 kHz
@@ -231,7 +253,10 @@ class AudioTextDataset:
         if norm_end:
             audio_arr = pad_or_trim(audio_arr, length=norm_end * 16)
         audio_arr = pad_or_trim(audio_arr)
-        mel = log_mel_spectrogram_np(audio_arr)
+        if self.device_mel:
+            mel = audio_arr  # (480000,) int16/f32 PCM; mel computed on device
+        else:
+            mel = log_mel_spectrogram_np(audio_arr).astype(np.float32)
 
         transcript = self._load_transcript(s)
         tokens, timestamp_mode, _ = build_tokens(
@@ -259,7 +284,7 @@ class AudioTextDataset:
         text_target = np.pad(text_target, (0, pad), constant_values=PADDING_TOKEN)
 
         return {
-            "mel": mel.astype(np.float32),
+            "mel": mel,
             "text_input": text_input,
             "text_target": text_target,
             "padding_mask": padding_mask,

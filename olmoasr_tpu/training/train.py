@@ -176,6 +176,16 @@ def loss_fn(
     (train_timestamps.py:1444-1450)."""
     import os as _os
 
+    if mel.ndim == 2:
+        # device_mel transport: the loader shipped raw (B, 480000) PCM
+        # (int16 when possible — half the H2D bytes of an f32 mel) and the
+        # log-mel runs HERE on the MXU as a strided conv-DFT
+        # (audio.py::_log_mel_jax; ~0.02% of the step FLOPs). This removes
+        # the host-side STFT, the input pipeline's dominant cost.
+        from olmoasr_tpu.audio import _log_mel_jax
+
+        mel = _log_mel_jax(mel, dims.n_mels, 0)
+
     valid = text_target != PADDING_TOKEN
     safe_target = jnp.where(valid, text_target, 0)
     n_valid = jnp.maximum(jnp.sum(valid), 1)

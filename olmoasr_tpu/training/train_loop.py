@@ -109,6 +109,7 @@ def main(
     eval_dir: str = "eval_data",
     eval_max_samples: Optional[int] = None,
     seed: int = 42,
+    device_mel: bool = False,  # ship raw PCM; log-mel on the MXU (train.py::loss_fn)
     max_steps_this_run: Optional[int] = None,
     profile_dir: Optional[str] = None,
     profile_steps: Tuple[int, int] = (10, 15),
@@ -155,7 +156,9 @@ def main(
         samples = load_jsonl_samples(shard_paths) if shard_paths else []
         if not samples:
             raise FileNotFoundError(f"no training samples under {train_shards}")
-        dataset = AudioTextDataset(samples, dims.n_text_ctx, seed=seed)
+        dataset = AudioTextDataset(
+            samples, dims.n_text_ctx, seed=seed, device_mel=device_mel
+        )
         loader = BatchLoader(
             dataset,
             micro_batch_size=micro_batch_size * n_devices,

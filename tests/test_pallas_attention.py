@@ -618,6 +618,61 @@ class TestDecoderTrainAttentionKernels:
             rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
             assert rel < 0.05
 
+    def test_prepadded_valid_len_matches_unpadded(self):
+        """Pre-padded inputs + valid_len == unpadded inputs (the encoder runs
+        its whole stack at 1536 and masks keys >= 1500 in-kernel; fwd AND
+        grads on the valid region must be identical)."""
+        from olmoasr_tpu.ops.train_attention import (
+            cross_attention, enc_self_attention,
+        )
+
+        B, T, D, H = 2, 300, 128, 2
+        T_pad = 384
+        q, k, v = self._mk(B, T, T, D)
+        pad = lambda x: jnp.pad(x, ((0, 0), (0, T_pad - T), (0, 0)))
+        ref = enc_self_attention(q, k, v, H, interpret=True)
+        out = enc_self_attention(
+            pad(q), pad(k), pad(v), H, interpret=True, valid_len=T
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[:, :T], np.float32), np.asarray(ref, np.float32),
+            atol=1e-3,
+        )
+
+        def loss(fn, *args):
+            return jnp.sum(fn(*args).astype(jnp.float32) ** 2)
+
+        g_ref = jax.grad(
+            lambda q_: loss(
+                lambda x: enc_self_attention(x, k, v, H, interpret=True), q_
+            )
+        )(q)
+        g_pad = jax.grad(
+            lambda q_: loss(
+                lambda x: enc_self_attention(
+                    x, pad(k), pad(v), H, interpret=True, valid_len=T
+                )[:, :T], q_,
+            )
+        )(pad(q))
+        np.testing.assert_allclose(
+            np.asarray(g_pad[:, :T], np.float32),
+            np.asarray(g_ref, np.float32), atol=1e-3,
+        )
+        # padded-region grads never leak into valid rows via keys
+        assert np.all(np.isfinite(np.asarray(g_pad, np.float32)))
+
+        # cross: pre-padded keys, unpadded queries
+        kc, vc = self._mk(B, 200, 200, D)[1:]
+        refc = cross_attention(q, kc, vc, H, interpret=True)
+        padk = lambda x: jnp.pad(x, ((0, 0), (0, 256 - 200), (0, 0)))
+        outc = cross_attention(
+            q, padk(kc), padk(vc), H, interpret=True, valid_len=200
+        )
+        np.testing.assert_allclose(
+            np.asarray(outc, np.float32), np.asarray(refc, np.float32),
+            atol=1e-3,
+        )
+
     def test_shard_map_multidevice_matches(self):
         """train_attention under a registered 8-device mesh shards the batch
         through shard_map (same SPMD rule as flash_mha); fwd + grads of the

@@ -271,3 +271,54 @@ def test_loss_logsumexp_matches_log_softmax():
     nll = -jnp.take_along_axis(lp, jnp.where(valid, tt, 0)[..., None], -1)[..., 0]
     ref = jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(valid.sum(), 1)
     assert abs(float(loss) - float(ref)) < 1e-5
+
+
+def test_device_mel_loss_matches_host_mel():
+    """device_mel transport: loss from raw int16 PCM (mel computed on device
+    via the conv-DFT, train.py::loss_fn) must match loss from the host NumPy
+    mel — the two STFTs agree to ~1e-5 relative (audio.py)."""
+    from olmoasr_tpu.audio import log_mel_spectrogram_np
+
+    rng = np.random.default_rng(3)
+    params = train_mod.init_train_state(
+        jax.random.PRNGKey(0), TINY,
+        train_mod.TrainConfig(train_steps=10, micro_batch_size=2),
+        train_mod.make_optimizer(train_mod.TrainConfig(train_steps=10)),
+    ).params
+    # TINY audio ctx 12 -> 24 mel frames -> 24*160 PCM samples
+    pcm = (rng.standard_normal((2, TINY.n_audio_ctx * 2 * 160)) * 3000).astype(
+        np.int16
+    )
+    ti = jnp.asarray(rng.integers(0, TINY.n_vocab, (2, TINY.n_text_ctx)), jnp.int32)
+    tt = jnp.asarray(rng.integers(0, TINY.n_vocab, (2, TINY.n_text_ctx)), jnp.int32)
+
+    host_mel = log_mel_spectrogram_np(
+        pcm.astype(np.float32) / 32768.0, n_mels=TINY.n_mels
+    )
+    assert host_mel.shape == (2, TINY.n_mels, TINY.n_audio_ctx * 2)
+    loss_host, _ = train_mod.loss_fn(
+        params, TINY, jnp.asarray(host_mel), ti, tt, None,
+        compute_dtype=jnp.float32, remat=False,
+    )
+    loss_dev, _ = train_mod.loss_fn(
+        params, TINY, jnp.asarray(pcm), ti, tt, None,
+        compute_dtype=jnp.float32, remat=False,
+    )
+    assert abs(float(loss_host) - float(loss_dev)) < 1e-3
+
+
+def test_dataset_device_mel_emits_pcm():
+    """AudioTextDataset(device_mel=True) ships int16 PCM under the "mel" key
+    (same batch plumbing, half the H2D bytes of an f32 mel)."""
+    from olmoasr_tpu.training.dataset import AudioTextDataset, Sample
+
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(16000 * 30) * 3000).astype(np.int16)
+    vtt = "WEBVTT\n\n00:01.000 --> 00:02.000\nhello world"
+    s = [Sample(audio=wav, transcript=vtt, transcript_ext="vtt", norm_end=30000)]
+    item = AudioTextDataset(s, device_mel=True)[0]
+    assert item["mel"].dtype == np.int16 and item["mel"].shape == (480000,)
+    host = AudioTextDataset(s)[0]
+    assert host["mel"].shape[0] == 80
+    # token side identical in both modes
+    np.testing.assert_array_equal(item["text_input"], host["text_input"])
