@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-3 sweep 4: everything chip-gated, serialized for one tunnel window.
+# Usage: bash perf/r3_sweep4.sh 2>&1 | tee perf/r3_sweep4.log
+cd /root/repo
+run() {
+  name=$1; shift
+  echo "=== $name : $*"
+  env PYTHONUNBUFFERED=1 "$@" timeout 1800 python bench.py 2>&1 | grep -v "^WARNING" | tail -4
+}
+T="OLMOASR_BENCH_MODE=train OLMOASR_BENCH_MU16=1"
+# -- training MFU ladder --
+run train_bs16_prepad   env $T OLMOASR_BENCH_BATCH=16
+run train_bs16_norem    env $T OLMOASR_BENCH_BATCH=16 OLMOASR_BENCH_REMAT=0
+run train_bs16_ce8k     env $T OLMOASR_BENCH_BATCH=16 OLMOASR_CE_CHUNK=8192
+run train_bs24          env $T OLMOASR_BENCH_BATCH=24
+run train_bs16_devmel   env $T OLMOASR_BENCH_BATCH=16 OLMOASR_DEVICE_MEL=1
+# -- decode records --
+run decode_bf16kv       env OLMOASR_BENCH_MODE=decode OLMOASR_BENCH_KV_QUANT=0
+run decode_int8_selfblk env OLMOASR_BENCH_MODE=decode OLMOASR_SELF_BLOCK=1
+run decode_int8_head    env OLMOASR_BENCH_MODE=decode

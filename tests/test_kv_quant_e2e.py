@@ -1,0 +1,92 @@
+"""int8-KV accuracy proxy (round-2 VERDICT weak #3): real-weights WER
+validation is egress-blocked, so this test manufactures a CONFIDENT model —
+overfits a micro model on two fixed (mel -> token sequence) pairs — and then
+requires the FULL greedy decode loop (prefill + scan chunks + early exit) to
+be token-identical with ``kv_quant=True`` vs the bf16-exact cache.
+Random-weight agreement tests (tests/test_model.py) can pass by luck on
+near-uniform logits; an overfit model exercises accumulated drift over a
+real multi-step decode. Suppress filters are disabled so the bf16 decode
+must reproduce the trained sequences EXACTLY (the confidence precondition —
+with them on, the suppress lists target real-GPT-2 ids that land on
+arbitrary bytes of this environment's byte-fallback vocab and divert the
+decode off the trained path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from olmoasr_tpu.api import OLMoASR
+from olmoasr_tpu.decoding import DecodingOptions
+from olmoasr_tpu.models import whisper as m
+from olmoasr_tpu.models.dims import ModelDimensions
+from olmoasr_tpu.tokenizer import get_tokenizer
+
+DIMS = ModelDimensions(
+    n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4, n_audio_layer=1,
+    n_vocab=51864, n_text_ctx=448, n_text_state=64, n_text_head=4, n_text_layer=1,
+)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """Overfit PRNGKey(0) params on two fixed sequences until confident."""
+    tok = get_tokenizer(False)
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.standard_normal((2, 80, 3000)) * 0.3, jnp.float32)
+    prompt = list(tok.sot_sequence_including_notimestamps)
+    text_a = tok.encode(" hello world this is a test")
+    text_b = tok.encode(" the quick brown fox jumps")
+    n = max(len(text_a), len(text_b))
+    seqs = np.full((2, len(prompt) + n + 1), tok.eot, np.int32)
+    for i, t in enumerate((text_a, text_b)):
+        seqs[i, : len(prompt)] = prompt
+        seqs[i, len(prompt) : len(prompt) + len(t)] = t
+
+    params = m.init_params(jax.random.PRNGKey(0), DIMS, include_padding_token=False)
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(params)
+    toks = jnp.asarray(seqs)
+    inp, tgt = toks[:, :-1], toks[:, 1:]
+
+    def loss_fn(p):
+        logits = m.forward_train(p, DIMS, mel, inp, compute_dtype=jnp.float32)
+        lp = jax.nn.log_softmax(logits, -1)
+        nll = -jnp.take_along_axis(lp, tgt[..., None], -1)[..., 0]
+        return nll.mean()
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s, l
+
+    loss = None
+    for _ in range(120):
+        params, opt_state, loss = step(params, opt_state)
+    assert float(loss) < 0.02, f"did not overfit (loss={float(loss)})"
+    n_text = seqs.shape[1] - len(prompt)
+    return OLMoASR(DIMS, params, inference=True), mel, seqs, len(prompt), n_text
+
+
+def test_int8_kv_full_greedy_decode_token_identical(trained):
+    model, mel, seqs, n_prompt, n_text = trained
+    opts = dict(
+        without_timestamps=True, fp16=False, sample_len=n_text + 4,
+        suppress_tokens=None, suppress_blank=False,
+    )
+    res_bf16 = model.decode(mel, DecodingOptions(kv_quant=False, **opts))
+    res_int8 = model.decode(mel, DecodingOptions(kv_quant=True, **opts))
+    toks_bf16 = [list(map(int, r.tokens)) for r in res_bf16]
+    toks_int8 = [list(map(int, r.tokens)) for r in res_int8]
+    # confidence precondition: the bf16 decode reproduces the trained
+    # sequences exactly (no filters to divert it)
+    eot = int(seqs[0, -1])
+    trained_text = [
+        [int(t) for t in row[n_prompt:] if t != eot] for row in seqs
+    ]
+    got_bf16 = [[t for t in r if t != eot] for r in toks_bf16]
+    assert got_bf16 == trained_text, (got_bf16, trained_text)
+    # int8 KV must not drift the argmax ANYWHERE over the full decode
+    assert toks_int8 == toks_bf16
