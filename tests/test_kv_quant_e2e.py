@@ -90,3 +90,18 @@ def test_int8_kv_full_greedy_decode_token_identical(trained):
     assert got_bf16 == trained_text, (got_bf16, trained_text)
     # int8 KV must not drift the argmax ANYWHERE over the full decode
     assert toks_int8 == toks_bf16
+
+
+def test_int8_kv_beam_decode_token_identical(trained):
+    """Same drift check through the BEAM machine (kv_quant threads through
+    beam prefill/step since r2; beams share the quantized cross cache)."""
+    model, mel, seqs, n_prompt, n_text = trained
+    opts = dict(
+        without_timestamps=True, fp16=False, sample_len=n_text + 4,
+        suppress_tokens=None, suppress_blank=False, beam_size=2,
+    )
+    res_bf16 = model.decode(mel, DecodingOptions(kv_quant=False, **opts))
+    res_int8 = model.decode(mel, DecodingOptions(kv_quant=True, **opts))
+    assert [list(map(int, r.tokens)) for r in res_int8] == [
+        list(map(int, r.tokens)) for r in res_bf16
+    ]
