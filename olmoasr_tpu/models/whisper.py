@@ -319,6 +319,37 @@ def _scan_unroll() -> int:
     return int(os.environ.get("OLMOASR_SCAN_UNROLL", "1"))
 
 
+@jax.custom_vjp
+def _grad_barrier_impl(p):
+    return p
+
+
+def _gb_fwd(p):
+    return p, None
+
+
+def _gb_bwd(_, g):
+    return (jax.lax.optimization_barrier(g),)
+
+
+_grad_barrier_impl.defvjp(_gb_fwd, _gb_bwd)
+
+
+def _dw_barrier(lp):
+    """Optimization-barrier the per-layer weight cotangents (OLMOASR_DW_BARRIER).
+
+    The layer scans' backward accumulates each layer's dW into the stacked
+    (n_layer, ...) gradient buffers with a dynamic-update-slice; XLA fuses the
+    dW matmul INTO that DUS (bitcast_dynamic-update-slice_fusion) and the fused
+    matmul runs at ~44 TF/s vs ~76 standalone (perf/r3_probe_dw1.log,
+    perf/r3_profile_train2.log ~3% of leaf time). Barriering the cotangent
+    forces dW to materialize at full matmul efficiency and degrades the DUS to
+    a plain slice write. Identity in the forward pass; no effect on values."""
+    if os.environ.get("OLMOASR_DW_BARRIER", "0") != "1":
+        return lp
+    return _grad_barrier_impl(lp)
+
+
 def _tag_attn(x: jax.Array) -> jax.Array:
     """Name attention outputs for the selective ``attn`` remat policy."""
     from jax.ad_checkpoint import checkpoint_name
@@ -422,6 +453,7 @@ def encode_audio(
         return sdpa(q, k, v, dims.n_audio_head, None)
 
     def block_fn(x, lp):
+        lp = _dw_barrier(lp)
         h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
         q = _tag_proj(_linear(h, lp["attn_q_w"], lp["attn_q_b"]))
         k = _tag_proj(_linear(h, lp["attn_k_w"]))
@@ -579,6 +611,7 @@ def decode_train(
     # cross k/v are per-layer projections of the same audio features; computing
     # them inside the scan keeps memory low and lets XLA overlap with attention.
     def block_fn(x, lp):
+        lp = _dw_barrier(lp)
         ck = _tag_proj(_linear(audio_features, lp["cross_k_w"]))
         cv = _tag_proj(_linear(audio_features, lp["cross_v_w"], lp["cross_v_b"]))
         if use_kernel:

@@ -31,3 +31,21 @@ def dw_dus(buf, x, dy):
     dw = jax.lax.dot_general(x.reshape(-1,1024), dy.reshape(-1,4096), (((0,),(0,)),((),())), preferred_element_type=jnp.float32)
     return jax.lax.dynamic_update_slice(buf, dw[None], (3, 0, 0))
 bench("dW + dus into (24,1024,4096) f32", dw_dus, buf, x, dy, flops=FL)
+# barrier between the matmul and the DUS: XLA must materialize dW at full
+# matmul efficiency and the DUS degenerates to a plain slice write
+def dw_dus_barrier(buf, x, dy):
+    dw = jax.lax.dot_general(x.reshape(-1,1024), dy.reshape(-1,4096), (((0,),(0,)),((),())), preferred_element_type=jnp.float32)
+    dw = jax.lax.optimization_barrier(dw)
+    return jax.lax.dynamic_update_slice(buf, dw[None], (3, 0, 0))
+bench("dW + barrier + dus f32", dw_dus_barrier, buf, x, dy, flops=FL)
+# bf16 stacked-grad buffer halves the DUS write traffic
+buf16 = jnp.zeros((24, 1024, 4096), jnp.bfloat16)
+def dw_dus_bf16(buf, x, dy):
+    dw = jax.lax.dot_general(x.reshape(-1,1024), dy.reshape(-1,4096), (((0,),(0,)),((),())), preferred_element_type=jnp.float32)
+    return jax.lax.dynamic_update_slice(buf, dw[None].astype(jnp.bfloat16), (3, 0, 0))
+bench("dW + dus bf16 buffer", dw_dus_bf16, buf16, x, dy, flops=FL)
+def dw_dus_bf16_barrier(buf, x, dy):
+    dw = jax.lax.dot_general(x.reshape(-1,1024), dy.reshape(-1,4096), (((0,),(0,)),((),())), preferred_element_type=jnp.float32)
+    dw = jax.lax.optimization_barrier(dw.astype(jnp.bfloat16))
+    return jax.lax.dynamic_update_slice(buf, dw[None], (3, 0, 0))
+bench("dW + barrier + dus bf16 buffer", dw_dus_bf16_barrier, buf16, x, dy, flops=FL)

@@ -18,3 +18,6 @@ run train_bs16_devmel   env $T OLMOASR_BENCH_BATCH=16 OLMOASR_DEVICE_MEL=1
 run decode_bf16kv       env OLMOASR_BENCH_MODE=decode OLMOASR_BENCH_KV_QUANT=0
 run decode_int8_selfblk env OLMOASR_BENCH_MODE=decode OLMOASR_SELF_BLOCK=1
 run decode_int8_head    env OLMOASR_BENCH_MODE=decode
+# -- scan unroll A/B (param-stream pipelining across layer-scan iterations) --
+run train_bs16_unroll4  env $T OLMOASR_BENCH_BATCH=16 OLMOASR_SCAN_UNROLL=4
+run train_bs16_dwbar    env $T OLMOASR_BENCH_BATCH=16 OLMOASR_DW_BARRIER=1

@@ -136,6 +136,30 @@ def test_remat_matches(tiny_params):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_dw_barrier_grads_identical(tiny_params, monkeypatch):
+    """OLMOASR_DW_BARRIER only splits an XLA fusion (dW matmul out of the
+    scan's stacked-grad DUS); values and gradients must be bit-identical."""
+    mel = jnp.ones((1, TINY_DIMS.n_mels, TINY_DIMS.n_audio_ctx * 2)) * 0.1
+    toks = jnp.array([[1, 2, 3]])
+
+    def loss(p):
+        lg = m.forward_train(
+            p, TINY_DIMS, mel, toks, compute_dtype=jnp.float32, remat=True
+        )
+        return jnp.sum(lg * lg) / lg.size
+
+    monkeypatch.delenv("OLMOASR_DW_BARRIER", raising=False)
+    l0, g0 = jax.value_and_grad(loss)(tiny_params)
+    monkeypatch.setenv("OLMOASR_DW_BARRIER", "1")
+    l1, g1 = jax.value_and_grad(loss)(tiny_params)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        g0,
+        g1,
+    )
+
+
 def test_kv_quant_cache_close_to_full(tiny_params):
     """int8 cross-KV decode stays close to the exact forward."""
     import jax
