@@ -7,17 +7,19 @@ run() {
   echo "=== $name : $*"
   env PYTHONUNBUFFERED=1 "$@" timeout 1800 python bench.py 2>&1 | grep -v "^WARNING" | tail -4
 }
+# ceiling first: settles the MFU denominator (fast)
+echo "=== probe_peak"
+timeout 900 python perf/probe_peak.py 2>&1 | grep -v "^WARNING"
 T="OLMOASR_BENCH_MODE=train OLMOASR_BENCH_MU16=1"
 # -- training MFU ladder --
 run train_bs16_prepad   env $T OLMOASR_BENCH_BATCH=16
-run train_bs16_norem    env $T OLMOASR_BENCH_BATCH=16 OLMOASR_BENCH_REMAT=0
+run train_bs16_dwbar    env $T OLMOASR_BENCH_BATCH=16 OLMOASR_DW_BARRIER=1
+run train_bs16_unroll4  env $T OLMOASR_BENCH_BATCH=16 OLMOASR_SCAN_UNROLL=4
 run train_bs16_ce8k     env $T OLMOASR_BENCH_BATCH=16 OLMOASR_CE_CHUNK=8192
-run train_bs24          env $T OLMOASR_BENCH_BATCH=24
 run train_bs16_devmel   env $T OLMOASR_BENCH_BATCH=16 OLMOASR_DEVICE_MEL=1
+run train_bs24          env $T OLMOASR_BENCH_BATCH=24
+run train_bs16_norem    env $T OLMOASR_BENCH_BATCH=16 OLMOASR_BENCH_REMAT=0
 # -- decode records --
 run decode_bf16kv       env OLMOASR_BENCH_MODE=decode OLMOASR_BENCH_KV_QUANT=0
 run decode_int8_selfblk env OLMOASR_BENCH_MODE=decode OLMOASR_SELF_BLOCK=1
 run decode_int8_head    env OLMOASR_BENCH_MODE=decode
-# -- scan unroll A/B (param-stream pipelining across layer-scan iterations) --
-run train_bs16_unroll4  env $T OLMOASR_BENCH_BATCH=16 OLMOASR_SCAN_UNROLL=4
-run train_bs16_dwbar    env $T OLMOASR_BENCH_BATCH=16 OLMOASR_DW_BARRIER=1
