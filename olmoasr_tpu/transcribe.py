@@ -38,6 +38,13 @@ from olmoasr_tpu.utils import exact_div, format_timestamp, make_safe
 if TYPE_CHECKING:
     from olmoasr_tpu.api import OLMoASR
 
+# OLMOASR_PERF_TIMERS=1: transcribe_many records its phase timings here
+# (bench.py reads mel_stack_s to split the host->device PCM upload + mel
+# prefix out of the wall time — the decode-bound RTFx accounting, VERDICT
+# weak #7: the upload dominates through a tunneled chip but is negligible on
+# PCIe-local hosts).
+PERF_TIMERS: dict = {}
+
 
 class _FileState:
     """Per-file long-form state machine: the sliding-window seek loop of
@@ -628,6 +635,12 @@ def transcribe_many(
     if word_timestamps and decode_options.get("task") == "translate":
         warnings.warn("Word-level timestamps on translations may not be reliable.")
 
+    import os as _os
+    import time as _time
+
+    _perf = _os.environ.get("OLMOASR_PERF_TIMERS", "0") == "1"
+    _t_enter = _time.perf_counter()
+
     temperatures = (
         [temperature] if isinstance(temperature, (int, float)) else list(temperature)
     )
@@ -698,6 +711,14 @@ def transcribe_many(
             group_mels[0] if len(group_mels) == 1
             else jnp.concatenate(group_mels, axis=0)
         )
+        if _perf:
+            # force the lazy host->device PCM upload + mel build to finish so
+            # the prefix is cleanly separable from the decode rounds
+            # (block_until_ready can return early through the tunnel; a
+            # scalar fetch forces a real sync)
+            mel_stack.block_until_ready()
+            _ = float(jnp.sum(mel_stack[:, 0, :1]).ravel()[0])
+            PERF_TIMERS["mel_stack_s"] = _time.perf_counter() - _t_enter
 
     states: List[_FileState] = []
     for fi, (audio, wav, mel) in enumerate(zip(audios, wavs, mels)):

@@ -23,3 +23,6 @@ run train_bs16_norem    env $T OLMOASR_BENCH_BATCH=16 OLMOASR_BENCH_REMAT=0
 run decode_bf16kv       env OLMOASR_BENCH_MODE=decode OLMOASR_BENCH_KV_QUANT=0
 run decode_int8_selfblk env OLMOASR_BENCH_MODE=decode OLMOASR_SELF_BLOCK=1
 run decode_int8_head    env OLMOASR_BENCH_MODE=decode
+# -- long-form records with upload/decode split --
+run longform_greedy     env OLMOASR_BENCH_MODE=longform
+run longform_beam5      env OLMOASR_BENCH_MODE=longform OLMOASR_BENCH_BEAM=1
