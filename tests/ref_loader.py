@@ -282,6 +282,7 @@ def load_reference() -> types.SimpleNamespace:
         ref_pre = importlib.import_module("olmoasr.preprocess")
         ref_model = importlib.import_module("olmoasr.model")
         ref_inf_model = importlib.import_module("olmoasr.inf_model")
+        ref_transcribe = importlib.import_module("olmoasr.transcribe")
 
         def _from_file(name: str, path: str):
             spec = importlib.util.spec_from_file_location(name, path)
@@ -317,6 +318,7 @@ def load_reference() -> types.SimpleNamespace:
         preprocess=ref_pre,
         model=ref_model,
         inf_model=ref_inf_model,
+        transcribe=ref_transcribe,
         train=ref_train,
         tagger=ref_tagger,
         filter=ref_filter,

@@ -1,0 +1,241 @@
+"""Differential: our long-form transcribe() vs the REFERENCE transcribe loop.
+
+Both sides run the real seek machines — ours (`olmoasr_tpu.transcribe`, the
+`_FileState` rebuild) and the reference's (`/root/reference/olmoasr/
+transcribe.py:47-523`, imported directly, whisper deps shimmed by
+tests/ref_loader.py) — driven by the SAME deterministic scripted decoder
+("oracle"): decode results are a pure function of (mel window content,
+temperature). If the two state machines are behaviorally identical, every
+window decodes identically and the final {text, segments, language} dicts are
+equal field-for-field — pinning window seeking, timestamp-token segmentation,
+the temperature-fallback ladder, the no-speech skip rule, and prompt/seek
+bookkeeping against the reference implementation itself (no egress needed).
+
+The oracle keys on a coarse quantization of the window's mel energy so the
+key survives tiny numeric drift between the two mel transports, while the
+amplitude ramp in the synthetic waveform makes different seek positions hash
+to different keys.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from olmoasr_tpu.audio import N_SAMPLES, log_mel_spectrogram
+from olmoasr_tpu.decoding import DecodingResult as OurResult
+from olmoasr_tpu.models.dims import ModelDimensions
+from olmoasr_tpu.tokenizer import get_tokenizer
+from olmoasr_tpu import transcribe as our_transcribe
+from tests.ref_loader import load_reference
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+TOK = get_tokenizer(False, num_languages=99, language="en", task="transcribe")
+TS0 = TOK.timestamp_begin
+EOT = TOK.eot
+
+DIMS = ModelDimensions(
+    n_mels=80, n_audio_ctx=1500, n_audio_state=64, n_audio_head=4,
+    n_audio_layer=1, n_vocab=51864, n_text_ctx=448, n_text_head=4,
+    n_text_state=64, n_text_layer=1,
+)
+
+
+def _key(win: np.ndarray) -> int:
+    # quantized mel energy: identical for the same window on both sides
+    # (drift << 256), different across the seek positions actually reached
+    # (the waveform's amplitude ramp separates them by >> 256)
+    return int(np.floor(np.abs(np.asarray(win, np.float64)).sum() / 256.0))
+
+
+def _txt(rng, n):
+    # byte-range ids decode to real text under the offline byte-fallback vocab
+    return [int(t) for t in rng.integers(33, 255, size=n)]
+
+
+SCEN_HIT = set()  # scenarios actually reached, for the coverage assertion
+
+
+def oracle(win: np.ndarray, temperature: float) -> dict:
+    """Scripted decode result as a pure function of (window, temperature)."""
+    key = _key(win)
+    scen = int(np.random.default_rng(key).integers(0, 6))
+    SCEN_HIT.add(scen)
+    rng = np.random.default_rng((key * 1000003 + int(round(temperature * 10))) % (2**61))
+    # well-behaved defaults (pass every gate)
+    out = dict(
+        temperature=float(temperature),
+        avg_logprob=float(-0.3 - 0.2 * rng.random()),
+        no_speech_prob=float(0.1 * rng.random()),
+        compression_ratio=float(1.0 + rng.random()),
+    )
+    p = sorted(int(x) for x in rng.integers(40, 1400, size=3))
+    if scen == 0:
+        # two full segments, consecutive-pair ending -> seek to last timestamp
+        toks = (
+            [TS0 + p[0]] + _txt(rng, 4) + [TS0 + p[1], TS0 + p[1]]
+            + _txt(rng, 3) + [TS0 + p[2], TS0 + p[2]]
+        )
+    elif scen == 1:
+        # single segment, single-timestamp ending -> seek += segment_size
+        toks = [TS0 + p[0]] + _txt(rng, 5) + [TS0 + p[2]]
+    elif scen == 2:
+        # no consecutive pair; lone trailing timestamp sets the duration
+        toks = [TS0 + p[0]] + _txt(rng, 4) + [TS0 + p[1]] + _txt(rng, 2)
+    elif scen == 3:
+        # no timestamps at all
+        toks = _txt(rng, 6)
+    elif scen == 4:
+        # silence: skipped via the no-speech rule (logprob below threshold)
+        toks = _txt(rng, 2)
+        out["no_speech_prob"] = 0.95
+        out["avg_logprob"] = -1.8
+    else:
+        # fallback ladder: t=0 fails the logprob gate, t>=0.2 passes
+        toks = [TS0 + p[0]] + _txt(rng, 4) + [TS0 + p[2]]
+        if temperature == 0.0:
+            out["avg_logprob"] = -2.5
+    out["tokens"] = toks
+    return out
+
+
+class _OurMock:
+    is_multilingual = False
+    num_languages = 99
+    dims = DIMS
+
+    def decode(self, batch, options):
+        arr = np.asarray(batch, np.float32)
+        assert arr.ndim == 3
+        return [
+            OurResult(language="en", **oracle(w, float(options.temperature)))
+            for w in arr
+        ]
+
+
+def _build_ref_mock(ref):
+    import torch
+
+    RefResult = ref.transcribe.DecodingResult  # the shimmed attribute bag
+
+    class _RefMock:
+        is_multilingual = False
+        num_languages = 99
+        device = torch.device("cpu")
+        dims = DIMS
+
+        def decode(self, mel_segment, options):
+            win = mel_segment.float().cpu().numpy()
+            assert win.ndim == 2
+            return RefResult(language="en", **oracle(win, float(options.temperature)))
+
+    return _RefMock()
+
+
+def _wav(seconds=90, seed=7):
+    rng = np.random.default_rng(seed)
+    n = 16000 * seconds
+    noise = rng.standard_normal(n).astype(np.float32) * 0.05
+    ramp = (0.25 + 1.5 * np.arange(n, dtype=np.float32) / n)
+    return noise * ramp  # position-dependent energy -> seek-discriminating keys
+
+
+COMMON = dict(
+    temperature=(0.0, 0.2, 0.4),
+    compression_ratio_threshold=2.4,
+    logprob_threshold=-1.0,
+    no_speech_threshold=0.6,
+    condition_on_previous_text=True,
+    verbose=None,
+)
+
+
+def _run_ref(ref, wav):
+    import torch
+
+    mel = np.asarray(
+        log_mel_spectrogram(wav[None, :], DIMS.n_mels, padding=N_SAMPLES)[0],
+        np.float32,
+    )
+
+    def _mel_fn(audio, n_mels, padding=0):
+        assert padding == N_SAMPLES and n_mels == DIMS.n_mels
+        return torch.from_numpy(mel.copy())
+
+    orig = ref.transcribe.log_mel_spectrogram
+    ref.transcribe.log_mel_spectrogram = _mel_fn
+    try:
+        return ref.transcribe.transcribe(
+            _build_ref_mock(ref), wav, fp16=False, language="en", **COMMON
+        )
+    finally:
+        ref.transcribe.log_mel_spectrogram = orig
+
+
+def _normalize(result):
+    segs = []
+    for s in result["segments"]:
+        s = dict(s)
+        s.pop("words", None)
+        s["tokens"] = [int(t) for t in s["tokens"]]
+        s["seek"] = int(s["seek"])
+        segs.append(s)
+    return {"text": result["text"], "language": result["language"], "segments": segs}
+
+
+@pytest.mark.parametrize("seconds,seed", [(90, 7), (75, 11), (120, 13), (63, 29)])
+def test_transcribe_loop_matches_reference(ref, seconds, seed):
+    wav = _wav(seconds, seed)
+    ref_out = _normalize(_run_ref(ref, wav))
+    our_out = _normalize(
+        our_transcribe.transcribe(_OurMock(), wav, fp16=False, language="en", **COMMON)
+    )
+    assert our_out["language"] == ref_out["language"]
+    assert len(our_out["segments"]) == len(ref_out["segments"])
+    for ours, theirs in zip(our_out["segments"], ref_out["segments"]):
+        assert ours == theirs, (ours, theirs)
+    assert our_out["text"] == ref_out["text"]
+    assert our_out["segments"], "differential must exercise real windows"
+
+
+def test_transcribe_differential_covers_scenarios():
+    """The parametrized runs above must actually reach the interesting
+    machine paths — otherwise the differential is vacuous."""
+    assert len(SCEN_HIT) >= 5, SCEN_HIT
+
+
+def test_transcribe_loop_matches_reference_gates_off(ref):
+    """No-fallback config (the eval harness default): gates disabled."""
+    wav = _wav(60)
+    kw = dict(COMMON)
+    kw.update(
+        temperature=0.0,
+        compression_ratio_threshold=None,
+        logprob_threshold=None,
+        no_speech_threshold=None,
+    )
+    import torch
+
+    mel = np.asarray(
+        log_mel_spectrogram(wav[None, :], DIMS.n_mels, padding=N_SAMPLES)[0],
+        np.float32,
+    )
+    orig = ref.transcribe.log_mel_spectrogram
+    ref.transcribe.log_mel_spectrogram = lambda a, n, padding=0: torch.from_numpy(mel.copy())
+    try:
+        ref_out = _normalize(
+            ref.transcribe.transcribe(
+                _build_ref_mock(ref), wav, fp16=False, language="en", **kw
+            )
+        )
+    finally:
+        ref.transcribe.log_mel_spectrogram = orig
+    our_out = _normalize(
+        our_transcribe.transcribe(_OurMock(), wav, fp16=False, language="en", **kw)
+    )
+    assert our_out == ref_out
