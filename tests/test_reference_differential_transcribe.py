@@ -203,6 +203,36 @@ def test_transcribe_loop_matches_reference(ref, seconds, seed):
     assert our_out["segments"], "differential must exercise real windows"
 
 
+def test_transcribe_loop_matches_reference_prompt_and_clips(ref):
+    """initial_prompt token bookkeeping + clip_timestamps seek windows."""
+    wav = _wav(90, 17)
+    kw = dict(COMMON)
+    kw.update(initial_prompt="hello world", clip_timestamps="5,40,50,80")
+    import torch
+
+    mel = np.asarray(
+        log_mel_spectrogram(wav[None, :], DIMS.n_mels, padding=N_SAMPLES)[0],
+        np.float32,
+    )
+    orig = ref.transcribe.log_mel_spectrogram
+    ref.transcribe.log_mel_spectrogram = (
+        lambda a, n, padding=0: torch.from_numpy(mel.copy())
+    )
+    try:
+        ref_out = _normalize(
+            ref.transcribe.transcribe(
+                _build_ref_mock(ref), wav, fp16=False, language="en", **kw
+            )
+        )
+    finally:
+        ref.transcribe.log_mel_spectrogram = orig
+    our_out = _normalize(
+        our_transcribe.transcribe(_OurMock(), wav, fp16=False, language="en", **kw)
+    )
+    assert our_out == ref_out
+    assert our_out["segments"]
+
+
 def test_transcribe_differential_covers_scenarios():
     """The parametrized runs above must actually reach the interesting
     machine paths — otherwise the differential is vacuous."""
