@@ -273,6 +273,61 @@ def test_loss_logsumexp_matches_log_softmax():
     assert abs(float(loss) - float(ref)) < 1e-5
 
 
+@pytest.mark.parametrize("chunk", [32, 48])  # dividing and remainder cases
+def test_ce_chunk_matches_full(monkeypatch, chunk):
+    """OLMOASR_CE_CHUNK streams the vocab in chunks (online logsumexp) —
+    loss, accuracy, and gradients must match the dense path."""
+    rng = np.random.default_rng(3)
+    cfg = train_mod.TrainConfig(train_steps=10, micro_batch_size=2)
+    params = train_mod.init_train_state(
+        jax.random.PRNGKey(0), TINY, cfg, train_mod.make_optimizer(cfg)
+    ).params
+    mel = jnp.asarray(
+        rng.standard_normal((2, TINY.n_mels, TINY.n_audio_ctx * 2)), jnp.float32
+    )
+    ti = jnp.asarray(rng.integers(0, TINY.n_vocab, (2, TINY.n_text_ctx)), jnp.int32)
+    tt_np = rng.integers(0, TINY.n_vocab, (2, TINY.n_text_ctx))
+    tt_np[1, 5:] = PADDING_TOKEN
+    tt = jnp.asarray(tt_np, jnp.int32)
+
+    def run(p):
+        (loss, aux), g = jax.value_and_grad(train_mod.loss_fn, has_aux=True)(
+            p, TINY, mel, ti, tt, None, compute_dtype=jnp.float32, remat=False
+        )
+        return loss, aux, g
+
+    monkeypatch.delenv("OLMOASR_CE_CHUNK", raising=False)
+    l0, a0, g0 = run(params)
+    monkeypatch.setenv("OLMOASR_CE_CHUNK", str(chunk))
+    l1, a1, g1 = run(params)
+    assert abs(float(l0) - float(l1)) < 1e-5
+    assert float(a0["accuracy"]) == pytest.approx(float(a1["accuracy"]))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5
+        ),
+        g0,
+        g1,
+    )
+
+
+def test_scan_unroll_matches(monkeypatch):
+    """OLMOASR_SCAN_UNROLL only changes lax.scan codegen; outputs identical."""
+    from olmoasr_tpu.models import whisper as m
+
+    rng = np.random.default_rng(4)
+    params = m.init_params(jax.random.PRNGKey(1), TINY)
+    mel = jnp.asarray(
+        rng.standard_normal((1, TINY.n_mels, TINY.n_audio_ctx * 2)), jnp.float32
+    )
+    ti = jnp.asarray(rng.integers(0, TINY.n_vocab, (1, 6)), jnp.int32)
+    monkeypatch.delenv("OLMOASR_SCAN_UNROLL", raising=False)
+    a = m.forward_train(params, TINY, mel, ti, None, compute_dtype=jnp.float32)
+    monkeypatch.setenv("OLMOASR_SCAN_UNROLL", "2")
+    b = m.forward_train(params, TINY, mel, ti, None, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_device_mel_loss_matches_host_mel():
     """device_mel transport: loss from raw int16 PCM (mel computed on device
     via the conv-DFT, train.py::loss_fn) must match loss from the host NumPy
