@@ -456,42 +456,50 @@ def _self_block_kernel(
     n_head: int,
     rows: int = 1,
 ):
+    # LN + QKV + out-proj are batched across the program's rows (one M=rows
+    # MXU dot instead of `rows` M=1 dots); only the softmax-attention against
+    # each row's private ring stays per-row.
+    D = x_ref.shape[-1]
+    dd = _dot_dtype(x_ref.dtype)
+    x = x_ref[:, 0, :].astype(jnp.float32)  # (rows, D)
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=1, keepdims=True)
+    h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    h = h * g_ref[0, 0, :].astype(jnp.float32) + b_ref[0, 0, :].astype(jnp.float32)
+    qkv = jnp.dot(
+        h.astype(dd), wqkv_ref[0, :, :].astype(dd),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0, 0, :].astype(jnp.float32)  # (rows, 3D)
+    kn_ref[:, 0, :] = qkv[:, D : 2 * D].astype(kn_ref.dtype)
+    vn_ref[:, 0, :] = qkv[:, 2 * D :].astype(vn_ref.dtype)
+
+    attn = jnp.zeros((rows, D), jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, D), 0)
     for r in range(rows):
-        _self_block_body(
-            s_ref, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-            k_ref, v_ref, o_ref, kn_ref, vn_ref, n_head=n_head, r=r,
+        a = _self_block_attend(
+            s_ref, qkv[r], k_ref, v_ref, n_head=n_head, r=r, dd=dd
         )
+        attn = jnp.where(row_ids == r, a[None, :], attn)
+    out = jnp.dot(
+        attn.astype(dd), wo_ref[0, :, :].astype(dd),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[0, 0, :].astype(jnp.float32)
+    o_ref[:, 0, :] = (x + out).astype(o_ref.dtype)
 
 
-def _self_block_body(
-    s_ref, x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-    k_ref, v_ref, o_ref, kn_ref, vn_ref, *, n_head, r,
-):
-    """Modernized fused self sub-block (bf16 dots + transposed value
-    contraction — the r1 version used f32 MXU passes and the expand-multiply
-    reduction, and measured 734 vs 778 at B=32; re-benched with the current
-    math at B=128)."""
+def _self_block_attend(s_ref, qkv_r, k_ref, v_ref, *, n_head, r, dd):
+    """One row's online-softmax attention against its private ring (bf16 dots
+    + transposed value contraction — the r1 version used f32 MXU passes and
+    the expand-multiply reduction, and measured 734 vs 778 at B=32).
+    ``qkv_r``: this row's fused projection output (3D,) f32."""
     _, _, C, D = k_ref.shape
     dh = D // n_head
     scale = dh ** -0.25
     offset = s_ref[1]
-    dd = _dot_dtype(x_ref.dtype)
 
-    x = x_ref[r, 0, :].astype(jnp.float32)
-    mean = jnp.mean(x)
-    var = jnp.mean((x - mean) ** 2)
-    h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
-    h = h * g_ref[0, 0, :].astype(jnp.float32) + b_ref[0, 0, :].astype(jnp.float32)
-
-    qkv = jnp.dot(
-        h[None, :].astype(dd), wqkv_ref[0, :, :].astype(dd),
-        preferred_element_type=jnp.float32,
-    )[0] + bqkv_ref[0, 0, :].astype(jnp.float32)  # (3D,)
-    q = qkv[:D] * (scale * scale)
-    kn = qkv[D : 2 * D]
-    vn = qkv[2 * D :]
-    kn_ref[r, 0, :] = kn.astype(kn_ref.dtype)
-    vn_ref[r, 0, :] = vn.astype(vn_ref.dtype)
+    q = qkv_r[:D] * (scale * scale)
+    kn = qkv_r[D : 2 * D]
+    vn = qkv_r[2 * D :]
 
     d_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 0)
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
@@ -518,13 +526,7 @@ def _self_block_body(
     hsel = (h_ids.T == d_ids.T // dh).astype(jnp.float32)  # (H, D)
     attn = jnp.sum(out2 * hsel, axis=0)  # (D,)
     wn_d = jnp.sum(hsel * w_new.T, axis=0)  # (D,): w_new[d//dh]
-    attn = attn + wn_d * vn
-
-    out = jnp.dot(
-        attn[None, :].astype(dd), wo_ref[0, :, :].astype(dd),
-        preferred_element_type=jnp.float32,
-    )[0] + bo_ref[0, 0, :].astype(jnp.float32)
-    o_ref[r, 0, :] = (x + out).astype(o_ref.dtype)
+    return attn + wn_d * vn
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "rows", "interpret"))

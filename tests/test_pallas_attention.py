@@ -304,7 +304,7 @@ def test_self_block_fused_matches_composition():
         q, kn, vn = qkv[..., :D], qkv[..., D : 2 * D], qkv[..., 2 * D :]
         attn = _attend_cached(q, kr[li], vr[li], kn, vn, jnp.int32(off), H)
         want_x = x + _linear(attn, wo[li], bo[li])
-        for rows in (1, 2):
+        for rows in (1, 2, 4):
             got_x, got_k, got_v = self_block_decode(
                 x, g, b, wqkv, bqkv, wo, bo, kr, vr, jnp.int32(off),
                 jnp.int32(li), n_head=H, rows=rows, interpret=True,
