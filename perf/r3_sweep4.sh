@@ -26,3 +26,5 @@ run decode_int8_head    env OLMOASR_BENCH_MODE=decode
 # -- long-form records with upload/decode split --
 run longform_greedy     env OLMOASR_BENCH_MODE=longform
 run longform_beam5      env OLMOASR_BENCH_MODE=longform OLMOASR_BENCH_BEAM=1
+# -- train-attention softmax VPU hypothesis --
+run train_bs16_bf16exp  env $T OLMOASR_BENCH_BATCH=16 OLMOASR_ATTN_BF16_EXP=1
