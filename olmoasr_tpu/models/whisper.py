@@ -951,6 +951,17 @@ def decode_step(
     use_pallas_mlp = (
         S == 1 and on_tpu and os.environ.get("OLMOASR_PALLAS_MLP", "1") == "1"
     )
+    # whole decoder layer in ONE launch (self + cross + MLP;
+    # ops/attention.py::layer_block_decode). Opt-in pending on-chip A/B.
+    use_layer_block = (
+        S == 1
+        and on_tpu
+        and os.environ.get("OLMOASR_LAYER_BLOCK", "0") == "1"
+        and not self_quant
+        and beam_anc is None
+        and kv_group == 1
+        and ck_t
+    )
 
     # fused q/k/v projection weights: one MXU matmul instead of three small
     # ones per layer. Scan-invariant, so XLA hoists the concat out of the
@@ -971,6 +982,26 @@ def decode_step(
         # — rewriting the rings per layer forces XLA to copy the full cache
         # every step (measured 5.4 ms/step on v5e before this change).
         lp, wqkv, bqkv, sk, sv, sks, svs, ck, cv, cks, cvs, li = layer_state
+        if use_layer_block and not use_interleaved_v:
+            from olmoasr_tpu.ops.attention import layer_block_decode
+
+            nx, k_new, v_new = layer_block_decode(
+                x, blocks["attn_ln_g"], blocks["attn_ln_b"], qkv_w, qkv_b,
+                blocks["attn_o_w"], blocks["attn_o_b"],
+                blocks["cross_ln_g"], blocks["cross_ln_b"],
+                blocks["cross_q_w"], blocks["cross_q_b"],
+                blocks["cross_o_w"], blocks["cross_o_b"],
+                blocks["mlp_ln_g"], blocks["mlp_ln_b"], blocks["mlp_w1"],
+                blocks["mlp_b1"], blocks["mlp_w2"], blocks["mlp_b2"],
+                cache.self_k, cache.self_v, cache.cross_k, cache.cross_v,
+                cross_ks, cross_vs, offset, li,
+                n_head=dims.n_text_head,
+                rows=int(os.environ.get("OLMOASR_LAYER_ROWS", "1")),
+                wv_mode=os.environ.get("OLMOASR_WV_MODE", "dot"),
+            )
+            return nx.astype(dtype), (
+                k_new.astype(dtype), v_new.astype(dtype)
+            )
         if use_pallas_self:
             from olmoasr_tpu.ops.attention import (
                 ln_matmul,
@@ -1134,7 +1165,7 @@ def decode_step(
         cross_o_w_eff = dec["blocks"]["cross_o_w"]
         cross_v_eff = cache.cross_v
     cross_ks, cross_vs = cache.cross_k_scale, cache.cross_v_scale
-    if use_pallas_cross_block and cross_ks is None:
+    if (use_pallas_cross_block or use_layer_block) and cross_ks is None:
         # the megakernel folds per-key scales unconditionally; bf16 caches
         # use ones (negligible extra read: (L, B, T) f32)
         L_, B_, T_, _ = cache.cross_v.shape
@@ -1144,16 +1175,16 @@ def decode_step(
         dec["blocks"], qkv_w, qkv_b,
         # when the pallas self kernel reads the full rings directly, keep them
         # OUT of the scan xs so XLA never materializes per-layer slices
-        None if use_pallas_self else cache.self_k,
-        None if use_pallas_self else cache.self_v,
-        None if use_pallas_self else cache.self_k_scale,
-        None if use_pallas_self else cache.self_v_scale,
+        None if (use_pallas_self or use_layer_block) else cache.self_k,
+        None if (use_pallas_self or use_layer_block) else cache.self_v,
+        None if (use_pallas_self or use_layer_block) else cache.self_k_scale,
+        None if (use_pallas_self or use_layer_block) else cache.self_v_scale,
         # same for the cross cache when the fused cross kernel indexes the
         # full stacked (L, B, T, D) tensors by scalar-prefetch layer index
-        None if use_pallas_cross_block else cache.cross_k,
-        None if use_pallas_cross_block else cache.cross_v,
-        None if use_pallas_cross_block else cache.cross_k_scale,
-        None if use_pallas_cross_block else cache.cross_v_scale,
+        None if (use_pallas_cross_block or use_layer_block) else cache.cross_k,
+        None if (use_pallas_cross_block or use_layer_block) else cache.cross_v,
+        None if (use_pallas_cross_block or use_layer_block) else cache.cross_k_scale,
+        None if (use_pallas_cross_block or use_layer_block) else cache.cross_v_scale,
         jnp.arange(L, dtype=jnp.int32),
     )
     # NOTE: unrolling this layer loop (unroll=n_text_layer) made the remote

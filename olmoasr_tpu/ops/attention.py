@@ -939,26 +939,13 @@ def _cross_block_kernel_kt(
         )
 
 
-def _cross_block_body_kt(
-    x_ref, g_ref, b_ref, wq_ref, bq_ref, wo_ref, bo_ref,
-    ks_ref, vs_ref, kt_ref, v_ref, o_ref, *, n_head, wv_mode, r,
-):
+def _cross_kt_attend(q_r, ks_ref, vs_ref, kt_ref, v_ref, *, n_head, wv_mode, r, dd):
+    """One row's cross attention against its TRANSPOSED (D, T) key block.
+    ``q_r``: this row's q projection output (D,) f32, unscaled."""
     _, _, D, T = kt_ref.shape
     dh = D // n_head
     scale = dh ** -0.25
-    dd = _dot_dtype(x_ref.dtype)
-
-    x = x_ref[r, 0, :].astype(jnp.float32)
-    mean = jnp.mean(x)
-    var = jnp.mean((x - mean) ** 2)
-    h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
-    h = h * g_ref[0, 0, :].astype(jnp.float32) + b_ref[0, 0, :].astype(jnp.float32)
-
-    q = jnp.dot(
-        h[None, :].astype(dd), wq_ref[0, :, :].astype(dd),
-        preferred_element_type=jnp.float32,
-    )[0] + bq_ref[0, 0, :].astype(jnp.float32)  # (D,)
-    q = q * (scale * scale)
+    q = q_r * (scale * scale)
 
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (n_head, D), 0)
     d_ids = jax.lax.broadcasted_iota(jnp.int32, (n_head, D), 1)
@@ -989,7 +976,30 @@ def _cross_block_body_kt(
             preferred_element_type=jnp.float32,
         )  # (H, D)
     hsel = (h_ids == d_ids // dh).astype(jnp.float32)  # (H, D)
-    attn = jnp.sum(out2 * hsel, axis=0, keepdims=True)  # (1, D)
+    return jnp.sum(out2 * hsel, axis=0)  # (D,)
+
+
+def _cross_block_body_kt(
+    x_ref, g_ref, b_ref, wq_ref, bq_ref, wo_ref, bo_ref,
+    ks_ref, vs_ref, kt_ref, v_ref, o_ref, *, n_head, wv_mode, r,
+):
+    dd = _dot_dtype(x_ref.dtype)
+
+    x = x_ref[r, 0, :].astype(jnp.float32)
+    mean = jnp.mean(x)
+    var = jnp.mean((x - mean) ** 2)
+    h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    h = h * g_ref[0, 0, :].astype(jnp.float32) + b_ref[0, 0, :].astype(jnp.float32)
+
+    q = jnp.dot(
+        h[None, :].astype(dd), wq_ref[0, :, :].astype(dd),
+        preferred_element_type=jnp.float32,
+    )[0] + bq_ref[0, 0, :].astype(jnp.float32)  # (D,)
+
+    attn = _cross_kt_attend(
+        q, ks_ref, vs_ref, kt_ref, v_ref,
+        n_head=n_head, wv_mode=wv_mode, r=r, dd=dd,
+    )[None, :]  # (1, D)
 
     out = jnp.dot(
         attn.astype(dd), wo_ref[0, :, :].astype(dd),
@@ -1230,3 +1240,214 @@ def cross_block_decode(
         ck, cv,
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# fused decoder-layer decode kernel: self + cross + MLP in one launch
+# ---------------------------------------------------------------------------
+
+
+def _ln_rows(x, g_ref, b_ref):
+    """fp32 LayerNorm of a (rows, D) block against (1, 1, D) param refs."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    return h * g_ref[0, 0, :].astype(jnp.float32) + b_ref[0, 0, :].astype(
+        jnp.float32
+    )
+
+
+def _layer_block_kernel(
+    s_ref,  # scalar prefetch (2,) int32: [layer_idx, offset]
+    x_ref,  # (rows, 1, D) residual stream
+    g1_ref, b1_ref, wqkv_ref, bqkv_ref, wo1_ref, bo1_ref,  # self sub-block
+    g2_ref, b2_ref, wq_ref, bq_ref, wo2_ref, bo2_ref,  # cross sub-block
+    g3_ref, b3_ref, w1_ref, b1m_ref, w2_ref, b2m_ref,  # MLP sub-block
+    k_ref, v_ref,  # (1, rows, C, D) self ring blocks (bf16)
+    ks_ref, vs_ref,  # (1, rows, 1, T) cross per-key scales
+    kt_ref, cv_ref,  # (1, rows, D, T) transposed keys / (1, rows, T, D) values
+    o_ref, kn_ref, vn_ref,  # outputs
+    *,
+    n_head: int,
+    rows: int,
+    wv_mode: str,
+):
+    """Whole decoder layer for one decode step in ONE kernel: self-attention
+    sub-block (LN + fused QKV + ring attention + o-proj + residual), cross
+    sub-block (LN + q-proj + int8 kt attention + o-proj + residual), and MLP
+    (LN + W1 + exact gelu + W2 + residual). Weight blocks are grid-constant
+    (fetched once across the B/rows grid steps); the per-row ring and cross
+    K/V blocks stream — the self/MLP compute hides under the cross K/V DMA,
+    which is the decode step's bandwidth floor (docs/KERNELS.md)."""
+    D = x_ref.shape[-1]
+    dd = _dot_dtype(x_ref.dtype)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, D), 0)
+
+    # ---- self sub-block ----
+    x = x_ref[:, 0, :].astype(jnp.float32)  # (rows, D)
+    h = _ln_rows(x, g1_ref, b1_ref)
+    qkv = jnp.dot(
+        h.astype(dd), wqkv_ref[0, :, :].astype(dd),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0, 0, :].astype(jnp.float32)  # (rows, 3D)
+    kn_ref[:, 0, :] = qkv[:, D : 2 * D].astype(kn_ref.dtype)
+    vn_ref[:, 0, :] = qkv[:, 2 * D :].astype(vn_ref.dtype)
+    attn = jnp.zeros((rows, D), jnp.float32)
+    for r in range(rows):
+        a = _self_block_attend(
+            s_ref, qkv[r], k_ref, v_ref, n_head=n_head, r=r, dd=dd
+        )
+        attn = jnp.where(row_ids == r, a[None, :], attn)
+    x = x + jnp.dot(
+        attn.astype(dd), wo1_ref[0, :, :].astype(dd),
+        preferred_element_type=jnp.float32,
+    ) + bo1_ref[0, 0, :].astype(jnp.float32)
+
+    # ---- cross sub-block ----
+    h = _ln_rows(x, g2_ref, b2_ref)
+    q = jnp.dot(
+        h.astype(dd), wq_ref[0, :, :].astype(dd),
+        preferred_element_type=jnp.float32,
+    ) + bq_ref[0, 0, :].astype(jnp.float32)  # (rows, D)
+    cattn = jnp.zeros((rows, D), jnp.float32)
+    for r in range(rows):
+        a = _cross_kt_attend(
+            q[r], ks_ref, vs_ref, kt_ref, cv_ref,
+            n_head=n_head, wv_mode=wv_mode, r=r, dd=dd,
+        )
+        cattn = jnp.where(row_ids == r, a[None, :], cattn)
+    x = x + jnp.dot(
+        cattn.astype(dd), wo2_ref[0, :, :].astype(dd),
+        preferred_element_type=jnp.float32,
+    ) + bo2_ref[0, 0, :].astype(jnp.float32)
+
+    # ---- MLP sub-block ----
+    h = _ln_rows(x, g3_ref, b3_ref)
+    h = jnp.dot(
+        h.astype(dd), w1_ref[0, :, :].astype(dd),
+        preferred_element_type=jnp.float32,
+    ) + b1m_ref[0, 0, :].astype(jnp.float32)
+    h = 0.5 * h * (1.0 + _erf_poly(h * (2.0 ** -0.5)))
+    x = x + jnp.dot(
+        h.astype(dd), w2_ref[0, :, :].astype(dd),
+        preferred_element_type=jnp.float32,
+    ) + b2m_ref[0, 0, :].astype(jnp.float32)
+    o_ref[:, 0, :] = x.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "rows", "wv_mode", "interpret")
+)
+def layer_block_decode(
+    x: jax.Array,  # (B, 1, D) residual stream
+    attn_ln_g: jax.Array,  # (L, D) — all params stacked over layers
+    attn_ln_b: jax.Array,
+    wqkv: jax.Array,  # (L, D, 3D)
+    bqkv: jax.Array,  # (L, 3D)
+    attn_o_w: jax.Array,  # (L, D, D)
+    attn_o_b: jax.Array,  # (L, D)
+    cross_ln_g: jax.Array,
+    cross_ln_b: jax.Array,
+    cross_q_w: jax.Array,  # (L, D, D)
+    cross_q_b: jax.Array,
+    cross_o_w: jax.Array,
+    cross_o_b: jax.Array,
+    mlp_ln_g: jax.Array,
+    mlp_ln_b: jax.Array,
+    mlp_w1: jax.Array,  # (L, D, F)
+    mlp_b1: jax.Array,
+    mlp_w2: jax.Array,  # (L, F, D)
+    mlp_b2: jax.Array,
+    self_k: jax.Array,  # (L, B, C, D) bf16 rings
+    self_v: jax.Array,
+    ck: jax.Array,  # (L, B, D, T) TRANSPOSED cross keys (int8 or bf16)
+    cv: jax.Array,  # (L, B, T, D)
+    ck_scale: jax.Array,  # (L, B, 1, T) f32 (ones when bf16)
+    cv_scale: jax.Array,
+    offset: jax.Array,  # scalar int32
+    layer_idx: jax.Array,  # scalar int32
+    *,
+    n_head: int,
+    rows: int = 1,
+    wv_mode: str = "dot",
+    interpret: bool = False,
+):
+    """ONE launch per decoder layer per decode step (self + cross + MLP;
+    opt-in via OLMOASR_LAYER_BLOCK). Collapses the 5-launch layer (ln_matmul,
+    self_attend_decode, matmul_residual, cross_block_decode, mlp_block) into
+    a single program so per-launch scheduling gaps vanish and the self/MLP
+    compute overlaps the dominant cross K/V stream. Returns
+    (new_x, k_new, v_new); ring writes stay outside (one DUS per step).
+    Restrictions: S == 1, bf16 self rings, kv_group == 1 (no beam ancestry),
+    transposed cross keys, normal V layout."""
+    B, S, D = x.shape
+    assert S == 1
+    L = self_k.shape[0]
+    T = cv.shape[2]
+    C = self_k.shape[2]
+    F = mlp_w1.shape[2]
+    if ck_scale.ndim == 3:
+        ck_scale = ck_scale[:, :, None, :]
+    if cv_scale.ndim == 3:
+        cv_scale = cv_scale[:, :, None, :]
+    if rows <= 0 or B % rows != 0:
+        rows = 1
+    scalars = jnp.stack([layer_idx.astype(jnp.int32), offset.astype(jnp.int32)])
+
+    row3 = lambda b, s: (b, 0, 0)
+    lay3 = lambda b, s: (s[0], 0, 0)
+    ring = lambda b, s: (s[0], b, 0, 0)
+    lp = lambda shape: pl.BlockSpec(shape, lay3, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),  # x
+            lp((1, 1, D)), lp((1, 1, D)), lp((1, D, 3 * D)), lp((1, 1, 3 * D)),
+            lp((1, D, D)), lp((1, 1, D)),  # self
+            lp((1, 1, D)), lp((1, 1, D)), lp((1, D, D)), lp((1, 1, D)),
+            lp((1, D, D)), lp((1, 1, D)),  # cross
+            lp((1, 1, D)), lp((1, 1, D)), lp((1, D, F)), lp((1, 1, F)),
+            lp((1, F, D)), lp((1, 1, D)),  # mlp
+            pl.BlockSpec((1, rows, C, D), ring, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, C, D), ring, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 1, T), ring, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 1, T), ring, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, D, T), ring, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, T, D), ring, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),
+        ),
+    )
+    kv_bytes = T * D * (1 if ck.dtype == jnp.int8 else 2)
+    new_x, k_new, v_new = pl.pallas_call(
+        functools.partial(
+            _layer_block_kernel, n_head=n_head, rows=rows, wv_mode=wv_mode
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+            jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+            jax.ShapeDtypeStruct((B, 1, D), x.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * (4 * D + 2 * C + 2 * D + 2 * T + 2 * F),
+            bytes_accessed=B * (2 * kv_bytes + 2 * C * D * 2)
+            + (4 * D * D + 3 * D * D + 2 * D * F) * 2,
+            transcendentals=B * (C + T) * n_head + B * F,
+        ),
+        interpret=interpret,
+    )(
+        scalars, x,
+        attn_ln_g[:, None, :], attn_ln_b[:, None, :], wqkv, bqkv[:, None, :],
+        attn_o_w, attn_o_b[:, None, :],
+        cross_ln_g[:, None, :], cross_ln_b[:, None, :], cross_q_w,
+        cross_q_b[:, None, :], cross_o_w, cross_o_b[:, None, :],
+        mlp_ln_g[:, None, :], mlp_ln_b[:, None, :], mlp_w1, mlp_b1[:, None, :],
+        mlp_w2, mlp_b2[:, None, :],
+        self_k, self_v, ck_scale, cv_scale, ck, cv,
+    )
+    return new_x, k_new, v_new
