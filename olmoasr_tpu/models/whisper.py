@@ -958,8 +958,6 @@ def decode_step(
         and on_tpu
         and os.environ.get("OLMOASR_LAYER_BLOCK", "0") == "1"
         and not self_quant
-        and beam_anc is None
-        and kv_group == 1
         and ck_t
     )
 
@@ -998,6 +996,7 @@ def decode_step(
                 n_head=dims.n_text_head,
                 rows=int(os.environ.get("OLMOASR_LAYER_ROWS", "1")),
                 wv_mode=os.environ.get("OLMOASR_WV_MODE", "dot"),
+                kv_group=kv_group, beam_anc=beam_anc,
             )
             return nx.astype(dtype), (
                 k_new.astype(dtype), v_new.astype(dtype)

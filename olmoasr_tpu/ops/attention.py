@@ -234,6 +234,23 @@ def _self_decode_body_ht(
     o_ref[r, 0, :] = out.astype(o_ref.dtype)
 
 
+def _anc_kv_select(anc_ref, k_ref, v_ref, r, K):
+    """Beam-ancestry gather inside VMEM: row ``r``'s effective (C, D) ring is
+    assembled by a K-way masked pick over its group's K ring rows,
+    k_eff[t] = k[anc[r, t], t] (see _self_decode_kernel_beam)."""
+    C = k_ref.shape[2]
+    # (C, 1) int32 — reshape BEFORE comparing: Mosaic only supports
+    # minor-dim insertion on 32-bit types, not on the i1 compare result
+    anc_col = anc_ref[0, r, :].reshape(C, 1)
+    k_eff = k_ref[0, 0, :, :]  # rows with anc==0 keep these values
+    v_eff = v_ref[0, 0, :, :]
+    for j in range(1, K):
+        selj = anc_col == j
+        k_eff = jnp.where(selj, k_ref[0, j, :, :], k_eff)
+        v_eff = jnp.where(selj, v_ref[0, j, :, :], v_eff)
+    return k_eff, v_eff
+
+
 def _self_decode_kernel_beam(
     s_ref, anc_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, o_ref,
     *, n_head: int, K: int,
@@ -260,15 +277,7 @@ def _self_decode_kernel_beam(
     dd = _dot_dtype(q_ref.dtype)
 
     for r in range(K):
-        # (C, 1) int32 — reshape BEFORE comparing: Mosaic only supports
-        # minor-dim insertion on 32-bit types, not on the i1 compare result
-        anc_col = anc_ref[0, r, :].reshape(C, 1)
-        k_eff = k_ref[0, 0, :, :]  # rows with anc==0 keep these values
-        v_eff = v_ref[0, 0, :, :]
-        for j in range(1, K):
-            selj = anc_col == j
-            k_eff = jnp.where(selj, k_ref[0, j, :, :], k_eff)
-            v_eff = jnp.where(selj, v_ref[0, j, :, :], v_eff)
+        k_eff, v_eff = _anc_kv_select(anc_ref, k_ref, v_ref, r, K)
 
         q = q_ref[r, 0, :].astype(jnp.float32) * (scale * scale)
         d_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 0)
@@ -477,7 +486,8 @@ def _self_block_kernel(
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, D), 0)
     for r in range(rows):
         a = _self_block_attend(
-            s_ref, qkv[r], k_ref, v_ref, n_head=n_head, r=r, dd=dd
+            s_ref, qkv[r], k_ref[0, r, :, :], v_ref[0, r, :, :],
+            n_head=n_head, dd=dd,
         )
         attn = jnp.where(row_ids == r, a[None, :], attn)
     out = jnp.dot(
@@ -487,12 +497,12 @@ def _self_block_kernel(
     o_ref[:, 0, :] = (x + out).astype(o_ref.dtype)
 
 
-def _self_block_attend(s_ref, qkv_r, k_ref, v_ref, *, n_head, r, dd):
-    """One row's online-softmax attention against its private ring (bf16 dots
-    + transposed value contraction — the r1 version used f32 MXU passes and
-    the expand-multiply reduction, and measured 734 vs 778 at B=32).
+def _self_block_attend(s_ref, qkv_r, k_slice, v_slice, *, n_head, dd):
+    """One row's online-softmax attention against its (C, D) ring slice (bf16
+    dots + transposed value contraction — the r1 version used f32 MXU passes
+    and the expand-multiply reduction, and measured 734 vs 778 at B=32).
     ``qkv_r``: this row's fused projection output (3D,) f32."""
-    _, _, C, D = k_ref.shape
+    C, D = k_slice.shape
     dh = D // n_head
     scale = dh ** -0.25
     offset = s_ref[1]
@@ -505,7 +515,7 @@ def _self_block_attend(s_ref, qkv_r, k_ref, v_ref, *, n_head, r, dd):
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
     qm = jnp.where(d_ids // dh == h_ids, q[:, None], 0.0)  # (D, H)
 
-    logits = _qk_logits(k_ref[0, r, :, :], qm, dd)  # (C, H)
+    logits = _qk_logits(k_slice, qm, dd)  # (C, H)
     pos = jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 0)
     logits = jnp.where(pos < offset, logits, -jnp.inf)
     logit_new = jnp.sum(kn[:, None] * qm, axis=0, keepdims=True)  # (1, H)
@@ -519,7 +529,7 @@ def _self_block_attend(s_ref, qkv_r, k_ref, v_ref, *, n_head, r, dd):
 
     # transposed contraction + head-row select (see _self_decode_body)
     out2 = jax.lax.dot_general(
-        w_old.astype(dd), v_ref[0, r, :, :].astype(dd),
+        w_old.astype(dd), v_slice.astype(dd),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (H, D)
@@ -1257,20 +1267,22 @@ def _ln_rows(x, g_ref, b_ref):
     )
 
 
-def _layer_block_kernel(
+def _layer_block_impl(
     s_ref,  # scalar prefetch (2,) int32: [layer_idx, offset]
     x_ref,  # (rows, 1, D) residual stream
     g1_ref, b1_ref, wqkv_ref, bqkv_ref, wo1_ref, bo1_ref,  # self sub-block
     g2_ref, b2_ref, wq_ref, bq_ref, wo2_ref, bo2_ref,  # cross sub-block
     g3_ref, b3_ref, w1_ref, b1m_ref, w2_ref, b2m_ref,  # MLP sub-block
     k_ref, v_ref,  # (1, rows, C, D) self ring blocks (bf16)
-    ks_ref, vs_ref,  # (1, rows, 1, T) cross per-key scales
-    kt_ref, cv_ref,  # (1, rows, D, T) transposed keys / (1, rows, T, D) values
+    ks_ref, vs_ref,  # (1, rows|1, 1, T) cross per-key scales
+    kt_ref, cv_ref,  # (1, rows|1, D, T) transposed keys / (1, rows|1, T, D)
     o_ref, kn_ref, vn_ref,  # outputs
     *,
     n_head: int,
     rows: int,
     wv_mode: str,
+    shared_cross: bool,
+    anc_ref=None,  # (1, rows, C) int32 beam ancestry (None outside beam mode)
 ):
     """Whole decoder layer for one decode step in ONE kernel: self-attention
     sub-block (LN + fused QKV + ring attention + o-proj + residual), cross
@@ -1278,7 +1290,12 @@ def _layer_block_kernel(
     (LN + W1 + exact gelu + W2 + residual). Weight blocks are grid-constant
     (fetched once across the B/rows grid steps); the per-row ring and cross
     K/V blocks stream — the self/MLP compute hides under the cross K/V DMA,
-    which is the decode step's bandwidth floor (docs/KERNELS.md)."""
+    which is the decode step's bandwidth floor (docs/KERNELS.md).
+
+    ``shared_cross``: the program's rows form one beam/best_of group sharing
+    a SINGLE cross K/V block (the group's audio window) — the dominant cross
+    bytes stream once per group instead of once per row. ``anc_ref``: beam
+    ancestry (rings not physically reordered; VMEM K-way pick per row)."""
     D = x_ref.shape[-1]
     dd = _dot_dtype(x_ref.dtype)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, D), 0)
@@ -1294,8 +1311,12 @@ def _layer_block_kernel(
     vn_ref[:, 0, :] = qkv[:, 2 * D :].astype(vn_ref.dtype)
     attn = jnp.zeros((rows, D), jnp.float32)
     for r in range(rows):
+        if anc_ref is None:
+            k_sl, v_sl = k_ref[0, r, :, :], v_ref[0, r, :, :]
+        else:
+            k_sl, v_sl = _anc_kv_select(anc_ref, k_ref, v_ref, r, rows)
         a = _self_block_attend(
-            s_ref, qkv[r], k_ref, v_ref, n_head=n_head, r=r, dd=dd
+            s_ref, qkv[r], k_sl, v_sl, n_head=n_head, dd=dd
         )
         attn = jnp.where(row_ids == r, a[None, :], attn)
     x = x + jnp.dot(
@@ -1313,7 +1334,8 @@ def _layer_block_kernel(
     for r in range(rows):
         a = _cross_kt_attend(
             q[r], ks_ref, vs_ref, kt_ref, cv_ref,
-            n_head=n_head, wv_mode=wv_mode, r=r, dd=dd,
+            n_head=n_head, wv_mode=wv_mode,
+            r=0 if shared_cross else r, dd=dd,
         )
         cattn = jnp.where(row_ids == r, a[None, :], cattn)
     x = x + jnp.dot(
@@ -1335,8 +1357,23 @@ def _layer_block_kernel(
     o_ref[:, 0, :] = x.astype(o_ref.dtype)
 
 
+def _layer_block_kernel(s_ref, *refs, n_head, rows, wv_mode, shared_cross):
+    _layer_block_impl(
+        s_ref, *refs, n_head=n_head, rows=rows, wv_mode=wv_mode,
+        shared_cross=shared_cross,
+    )
+
+
+def _layer_block_kernel_beam(s_ref, anc_ref, *refs, n_head, K, wv_mode):
+    _layer_block_impl(
+        s_ref, *refs, n_head=n_head, rows=K, wv_mode=wv_mode,
+        shared_cross=True, anc_ref=anc_ref,
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_head", "rows", "wv_mode", "interpret")
+    jax.jit,
+    static_argnames=("n_head", "rows", "wv_mode", "kv_group", "interpret"),
 )
 def layer_block_decode(
     x: jax.Array,  # (B, 1, D) residual stream
@@ -1370,6 +1407,8 @@ def layer_block_decode(
     n_head: int,
     rows: int = 1,
     wv_mode: str = "dot",
+    kv_group: int = 1,
+    beam_anc: Optional[jax.Array] = None,  # (B, C) int32 within-group rows
     interpret: bool = False,
 ):
     """ONE launch per decoder layer per decode step (self + cross + MLP;
@@ -1378,8 +1417,12 @@ def layer_block_decode(
     a single program so per-launch scheduling gaps vanish and the self/MLP
     compute overlaps the dominant cross K/V stream. Returns
     (new_x, k_new, v_new); ring writes stay outside (one DUS per step).
-    Restrictions: S == 1, bf16 self rings, kv_group == 1 (no beam ancestry),
-    transposed cross keys, normal V layout."""
+
+    ``kv_group`` > 1: beam/best_of groups — the cross arrays have B/kv_group
+    audio-major rows and each program covers one group of kv_group token rows
+    sharing its single cross block. ``beam_anc``: beam-search ancestry (rings
+    not physically reordered; see self_attend_decode). Restrictions: S == 1,
+    bf16 self rings, transposed cross keys, normal V layout."""
     B, S, D = x.shape
     assert S == 1
     L = self_k.shape[0]
@@ -1390,7 +1433,10 @@ def layer_block_decode(
         ck_scale = ck_scale[:, :, None, :]
     if cv_scale.ndim == 3:
         cv_scale = cv_scale[:, :, None, :]
-    if rows <= 0 or B % rows != 0:
+    if kv_group > 1:
+        assert B % kv_group == 0
+        rows = kv_group  # one program per beam/best_of group
+    elif rows <= 0 or B % rows != 0:
         rows = 1
     scalars = jnp.stack([layer_idx.astype(jnp.int32), offset.astype(jnp.int32)])
 
@@ -1398,10 +1444,24 @@ def layer_block_decode(
     lay3 = lambda b, s: (s[0], 0, 0)
     ring = lambda b, s: (s[0], b, 0, 0)
     lp = lambda shape: pl.BlockSpec(shape, lay3, memory_space=pltpu.VMEM)
+    # cross blocks: per-row when kv_group == 1, one shared block per group
+    # otherwise (the cross arrays are audio-major with B/kv_group rows, and
+    # the grid step IS the group index when rows == kv_group)
+    cr = 1 if kv_group > 1 else rows
+    anc_specs = []
+    if beam_anc is not None:
+        assert kv_group > 1 and beam_anc.shape == (B, C)
+        anc_specs = [
+            # (G, K, C) layout: the (1, K, C) block's trailing dims equal the
+            # array dims, satisfying Mosaic's (8, 128) block rule for the
+            # otherwise-indivisible K=beam width
+            pl.BlockSpec((1, kv_group, C), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // rows,),
-        in_specs=[
+        in_specs=anc_specs + [
             pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),  # x
             lp((1, 1, D)), lp((1, 1, D)), lp((1, D, 3 * D)), lp((1, 1, 3 * D)),
             lp((1, D, D)), lp((1, 1, D)),  # self
@@ -1411,10 +1471,10 @@ def layer_block_decode(
             lp((1, F, D)), lp((1, 1, D)),  # mlp
             pl.BlockSpec((1, rows, C, D), ring, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, C, D), ring, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, 1, T), ring, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, 1, T), ring, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, D, T), ring, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, T, D), ring, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cr, 1, T), ring, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cr, 1, T), ring, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cr, D, T), ring, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cr, T, D), ring, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),
@@ -1422,11 +1482,21 @@ def layer_block_decode(
             pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),
         ),
     )
-    kv_bytes = T * D * (1 if ck.dtype == jnp.int8 else 2)
+    if beam_anc is not None:
+        kernel = functools.partial(
+            _layer_block_kernel_beam, n_head=n_head, K=kv_group,
+            wv_mode=wv_mode,
+        )
+        anc_ops = [beam_anc.reshape(B // kv_group, kv_group, C)]
+    else:
+        kernel = functools.partial(
+            _layer_block_kernel, n_head=n_head, rows=rows, wv_mode=wv_mode,
+            shared_cross=kv_group > 1,
+        )
+        anc_ops = []
+    kv_bytes = T * D * (1 if ck.dtype == jnp.int8 else 2) // kv_group
     new_x, k_new, v_new = pl.pallas_call(
-        functools.partial(
-            _layer_block_kernel, n_head=n_head, rows=rows, wv_mode=wv_mode
-        ),
+        kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, 1, D), x.dtype),
@@ -1441,7 +1511,7 @@ def layer_block_decode(
         ),
         interpret=interpret,
     )(
-        scalars, x,
+        scalars, *anc_ops, x,
         attn_ln_g[:, None, :], attn_ln_b[:, None, :], wqkv, bqkv[:, None, :],
         attn_o_w, attn_o_b[:, None, :],
         cross_ln_g[:, None, :], cross_ln_b[:, None, :], cross_q_w,
