@@ -70,6 +70,18 @@ def _bf16_exp() -> bool:
     return os.environ.get("OLMOASR_ATTN_BF16_EXP", "0") == "1"
 
 
+def _defer_l() -> bool:
+    # backward-kernel variant: never normalize the (BQ, Tk) probability
+    # block by 1/l — fold 1/l into do (a (BQ, dh=64) rescale, Tk/dh times
+    # fewer VPU touches) and into the per-row delta. Algebra:
+    #   dS = P∘(dp − δ) with P = p/l, dp = do·Vᵀ, δ = Σ dp∘P
+    #      = p∘(dp′ − δ′)  with do′ = do/l, dp′ = do′·Vᵀ, δ′ = (Σ dp′∘p)/l
+    #   dV = Pᵀ·do = pᵀ·do′
+    # so the unnormalized p (already produced in bf16 by the softmax) feeds
+    # every consumer. Read at trace time, like _bf16_exp.
+    return os.environ.get("OLMOASR_ATTN_DEFER_L", "0") == "1"
+
+
 def _softmax_rows(s: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(probs f32, probs bf16, row sums f32) of a (rows, Tk) f32 score block.
 
@@ -195,14 +207,23 @@ def _make_bwd_kernel(causal: bool, bq: int):
         )
         s = _mask_block(s + bias_ref[0], causal, bq)
         pn, pnb, l = _softmax_rows(s)
-        pn = pn / l
-        pnb = pn.astype(jnp.bfloat16)
-
-        dp = jax.lax.dot_general(
-            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (BQ, Tk)
-        delta = jnp.sum(dp * pn, axis=-1, keepdims=True)  # (BQ, 1)
+        if _defer_l():
+            # see _defer_l: p stays unnormalized; 1/l rides on do and delta
+            inv_l = 1.0 / l  # (BQ, 1)
+            do = (do.astype(jnp.float32) * inv_l).astype(jnp.bfloat16)
+            dp = jax.lax.dot_general(
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BQ, Tk) == dp'
+            delta = jnp.sum(dp * pn, axis=-1, keepdims=True) * inv_l
+        else:
+            pn = pn / l
+            pnb = pn.astype(jnp.bfloat16)
+            dp = jax.lax.dot_general(
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BQ, Tk)
+            delta = jnp.sum(dp * pn, axis=-1, keepdims=True)  # (BQ, 1)
         ds = (pn * (dp - delta)).astype(jnp.bfloat16)  # (BQ, Tk)
 
         dq_ref[0] = jax.lax.dot_general(

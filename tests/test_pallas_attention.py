@@ -888,3 +888,40 @@ def test_layer_block_beam_ancestry_matches_composition():
     np.testing.assert_allclose(np.asarray(got_x), np.asarray(want), atol=3e-5)
     np.testing.assert_allclose(np.asarray(got_k), np.asarray(kn), atol=3e-5)
     np.testing.assert_allclose(np.asarray(got_v), np.asarray(vn), atol=3e-5)
+
+
+def test_defer_l_backward_matches_default(monkeypatch):
+    """OLMOASR_ATTN_DEFER_L=1 (1/l folded into do + delta instead of
+    normalizing the (BQ, Tk) prob block) produces the same grads as the
+    default backward, up to bf16 rounding placement."""
+    from olmoasr_tpu.ops.train_attention import dec_self_attention
+
+    B, T, D, H = 2, 128, 64, 4
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (B, T, D)) * 0.3
+    k = jax.random.normal(ks[1], (B, T, D)) * 0.3
+    v = jax.random.normal(ks[2], (B, T, D)) * 0.3
+    bias = jnp.where(jnp.arange(T)[None, :] < 100, 0.0, -jnp.inf) * jnp.ones(
+        (B, 1)
+    )
+
+    def grads():
+        jax.clear_caches()  # the knob is read at trace time
+
+        def loss(args):
+            q_, k_, v_ = args
+            o = dec_self_attention(q_, k_, v_, H, bias, interpret=True)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        return jax.grad(loss)((q, k, v))
+
+    base = grads()
+    monkeypatch.setenv("OLMOASR_ATTN_DEFER_L", "1")
+    defer = grads()
+    monkeypatch.delenv("OLMOASR_ATTN_DEFER_L")
+    jax.clear_caches()
+    for a, b in zip(base, defer):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=2e-2,
+            rtol=1e-2,
+        )
