@@ -2,6 +2,9 @@
 # Round-3 sweep 4: everything chip-gated, serialized for one tunnel window.
 # Usage: bash perf/r3_sweep4.sh 2>&1 | tee perf/r3_sweep4.log
 cd /root/repo
+# scripts under perf/ put perf/ (not the repo) on sys.path; the axon TPU
+# plugin lives on the inherited PYTHONPATH — prepend, never replace
+export PYTHONPATH=/root/repo:${PYTHONPATH:-/root/.axon_site}
 run() {
   name=$1; shift
   echo "=== $name : $*"
