@@ -953,10 +953,14 @@ def decode_step(
     )
     # whole decoder layer in ONE launch (self + cross + MLP;
     # ops/attention.py::layer_block_decode). Opt-in pending on-chip A/B.
+    # "1" fuses the whole layer (self+cross+MLP, one launch — only fits
+    # VMEM for D<768 models); "sc" fuses self+cross (5 launches -> 2) and
+    # runs the MLP through mlp_block, fitting small.en's weight budget
+    lb_mode = os.environ.get("OLMOASR_LAYER_BLOCK", "0")
     use_layer_block = (
         S == 1
         and on_tpu
-        and os.environ.get("OLMOASR_LAYER_BLOCK", "0") == "1"
+        and lb_mode in ("1", "sc")
         and not self_quant
         and ck_t
     )
@@ -981,7 +985,7 @@ def decode_step(
         # every step (measured 5.4 ms/step on v5e before this change).
         lp, wqkv, bqkv, sk, sv, sks, svs, ck, cv, cks, cvs, li = layer_state
         if use_layer_block and not use_interleaved_v:
-            from olmoasr_tpu.ops.attention import layer_block_decode
+            from olmoasr_tpu.ops.attention import layer_block_decode, mlp_block
 
             nx, k_new, v_new = layer_block_decode(
                 x, blocks["attn_ln_g"], blocks["attn_ln_b"], qkv_w, qkv_b,
@@ -997,7 +1001,14 @@ def decode_step(
                 rows=int(os.environ.get("OLMOASR_LAYER_ROWS", "1")),
                 wv_mode=os.environ.get("OLMOASR_WV_MODE", "dot"),
                 kv_group=kv_group, beam_anc=beam_anc,
+                include_mlp=lb_mode == "1",
             )
+            if lb_mode == "sc":
+                nx = mlp_block(
+                    nx, blocks["mlp_ln_g"], blocks["mlp_ln_b"],
+                    blocks["mlp_w1"], blocks["mlp_b1"], blocks["mlp_w2"],
+                    blocks["mlp_b2"], li,
+                )
             return nx.astype(dtype), (
                 k_new.astype(dtype), v_new.astype(dtype)
             )

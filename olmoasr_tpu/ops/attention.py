@@ -1272,7 +1272,7 @@ def _layer_block_impl(
     x_ref,  # (rows, 1, D) residual stream
     g1_ref, b1_ref, wqkv_ref, bqkv_ref, wo1_ref, bo1_ref,  # self sub-block
     g2_ref, b2_ref, wq_ref, bq_ref, wo2_ref, bo2_ref,  # cross sub-block
-    g3_ref, b3_ref, w1_ref, b1m_ref, w2_ref, b2m_ref,  # MLP sub-block
+    g3_ref, b3_ref, w1_ref, b1m_ref, w2_ref, b2m_ref,  # MLP (None in sc mode)
     k_ref, v_ref,  # (1, rows, C, D) self ring blocks (bf16)
     ks_ref, vs_ref,  # (1, rows|1, 1, T) cross per-key scales
     kt_ref, cv_ref,  # (1, rows|1, D, T) transposed keys / (1, rows|1, T, D)
@@ -1343,37 +1343,54 @@ def _layer_block_impl(
         preferred_element_type=jnp.float32,
     ) + bo2_ref[0, 0, :].astype(jnp.float32)
 
-    # ---- MLP sub-block ----
-    h = _ln_rows(x, g3_ref, b3_ref)
-    h = jnp.dot(
-        h.astype(dd), w1_ref[0, :, :].astype(dd),
-        preferred_element_type=jnp.float32,
-    ) + b1m_ref[0, 0, :].astype(jnp.float32)
-    h = 0.5 * h * (1.0 + _erf_poly(h * (2.0 ** -0.5)))
-    x = x + jnp.dot(
-        h.astype(dd), w2_ref[0, :, :].astype(dd),
-        preferred_element_type=jnp.float32,
-    ) + b2m_ref[0, 0, :].astype(jnp.float32)
+    # ---- MLP sub-block (skipped in sc mode: the full-layer weight blocks
+    # are ~16.5MB bf16 for small.en, over the ~16MB VMEM core budget; sc
+    # fuses self+cross (~7MB weights) and leaves MLP to mlp_block) ----
+    if w1_ref is not None:
+        h = _ln_rows(x, g3_ref, b3_ref)
+        h = jnp.dot(
+            h.astype(dd), w1_ref[0, :, :].astype(dd),
+            preferred_element_type=jnp.float32,
+        ) + b1m_ref[0, 0, :].astype(jnp.float32)
+        h = 0.5 * h * (1.0 + _erf_poly(h * (2.0 ** -0.5)))
+        x = x + jnp.dot(
+            h.astype(dd), w2_ref[0, :, :].astype(dd),
+            preferred_element_type=jnp.float32,
+        ) + b2m_ref[0, 0, :].astype(jnp.float32)
     o_ref[:, 0, :] = x.astype(o_ref.dtype)
 
 
-def _layer_block_kernel(s_ref, *refs, n_head, rows, wv_mode, shared_cross):
+def _unpack_layer_refs(refs, include_mlp):
+    if include_mlp:
+        return refs
+    head, tail = refs[:13], refs[13:]
+    return head + (None,) * 6 + tail
+
+
+def _layer_block_kernel(
+    s_ref, *refs, n_head, rows, wv_mode, shared_cross, include_mlp
+):
     _layer_block_impl(
-        s_ref, *refs, n_head=n_head, rows=rows, wv_mode=wv_mode,
-        shared_cross=shared_cross,
+        s_ref, *_unpack_layer_refs(refs, include_mlp),
+        n_head=n_head, rows=rows, wv_mode=wv_mode, shared_cross=shared_cross,
     )
 
 
-def _layer_block_kernel_beam(s_ref, anc_ref, *refs, n_head, K, wv_mode):
+def _layer_block_kernel_beam(
+    s_ref, anc_ref, *refs, n_head, K, wv_mode, include_mlp
+):
     _layer_block_impl(
-        s_ref, *refs, n_head=n_head, rows=K, wv_mode=wv_mode,
+        s_ref, *_unpack_layer_refs(refs, include_mlp),
+        n_head=n_head, rows=K, wv_mode=wv_mode,
         shared_cross=True, anc_ref=anc_ref,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_head", "rows", "wv_mode", "kv_group", "interpret"),
+    static_argnames=(
+        "n_head", "rows", "wv_mode", "kv_group", "include_mlp", "interpret"
+    ),
 )
 def layer_block_decode(
     x: jax.Array,  # (B, 1, D) residual stream
@@ -1409,6 +1426,7 @@ def layer_block_decode(
     wv_mode: str = "dot",
     kv_group: int = 1,
     beam_anc: Optional[jax.Array] = None,  # (B, C) int32 within-group rows
+    include_mlp: bool = True,
     interpret: bool = False,
 ):
     """ONE launch per decoder layer per decode step (self + cross + MLP;
@@ -1421,8 +1439,12 @@ def layer_block_decode(
     ``kv_group`` > 1: beam/best_of groups — the cross arrays have B/kv_group
     audio-major rows and each program covers one group of kv_group token rows
     sharing its single cross block. ``beam_anc``: beam-search ancestry (rings
-    not physically reordered; see self_attend_decode). Restrictions: S == 1,
-    bf16 self rings, transposed cross keys, normal V layout."""
+    not physically reordered; see self_attend_decode). ``include_mlp=False``
+    = "sc" mode: fuse self+cross only (5 launches -> 2) — the full-layer
+    weight set (~16.5MB bf16 at D=768/F=3072) exceeds the ~16MB VMEM core
+    budget, self+cross (~7MB) fits; the caller runs mlp_block after.
+    Restrictions: S == 1, bf16 self rings, transposed cross keys, normal V
+    layout."""
     B, S, D = x.shape
     assert S == 1
     L = self_k.shape[0]
@@ -1458,6 +1480,10 @@ def layer_block_decode(
             pl.BlockSpec((1, kv_group, C), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
+    mlp_specs = [
+        lp((1, 1, D)), lp((1, 1, D)), lp((1, D, F)), lp((1, 1, F)),
+        lp((1, F, D)), lp((1, 1, D)),
+    ] if include_mlp else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // rows,),
@@ -1467,8 +1493,7 @@ def layer_block_decode(
             lp((1, D, D)), lp((1, 1, D)),  # self
             lp((1, 1, D)), lp((1, 1, D)), lp((1, D, D)), lp((1, 1, D)),
             lp((1, D, D)), lp((1, 1, D)),  # cross
-            lp((1, 1, D)), lp((1, 1, D)), lp((1, D, F)), lp((1, 1, F)),
-            lp((1, F, D)), lp((1, 1, D)),  # mlp
+        ] + mlp_specs + [
             pl.BlockSpec((1, rows, C, D), ring, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, C, D), ring, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cr, 1, T), ring, memory_space=pltpu.VMEM),
@@ -1485,13 +1510,13 @@ def layer_block_decode(
     if beam_anc is not None:
         kernel = functools.partial(
             _layer_block_kernel_beam, n_head=n_head, K=kv_group,
-            wv_mode=wv_mode,
+            wv_mode=wv_mode, include_mlp=include_mlp,
         )
         anc_ops = [beam_anc.reshape(B // kv_group, kv_group, C)]
     else:
         kernel = functools.partial(
             _layer_block_kernel, n_head=n_head, rows=rows, wv_mode=wv_mode,
-            shared_cross=kv_group > 1,
+            shared_cross=kv_group > 1, include_mlp=include_mlp,
         )
         anc_ops = []
     kv_bytes = T * D * (1 if ck.dtype == jnp.int8 else 2) // kv_group
@@ -1504,10 +1529,13 @@ def layer_block_decode(
             jax.ShapeDtypeStruct((B, 1, D), x.dtype),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * D * (4 * D + 2 * C + 2 * D + 2 * T + 2 * F),
+            flops=2 * B * D * (
+                4 * D + 2 * C + 2 * D + 2 * T + (2 * F if include_mlp else 0)
+            ),
             bytes_accessed=B * (2 * kv_bytes + 2 * C * D * 2)
-            + (4 * D * D + 3 * D * D + 2 * D * F) * 2,
-            transcendentals=B * (C + T) * n_head + B * F,
+            + (4 * D * D + 3 * D * D + (2 * D * F if include_mlp else 0)) * 2,
+            transcendentals=B * (C + T) * n_head
+            + (B * F if include_mlp else 0),
         ),
         interpret=interpret,
     )(
@@ -1516,8 +1544,13 @@ def layer_block_decode(
         attn_o_w, attn_o_b[:, None, :],
         cross_ln_g[:, None, :], cross_ln_b[:, None, :], cross_q_w,
         cross_q_b[:, None, :], cross_o_w, cross_o_b[:, None, :],
-        mlp_ln_g[:, None, :], mlp_ln_b[:, None, :], mlp_w1, mlp_b1[:, None, :],
-        mlp_w2, mlp_b2[:, None, :],
+        *(
+            (
+                mlp_ln_g[:, None, :], mlp_ln_b[:, None, :], mlp_w1,
+                mlp_b1[:, None, :], mlp_w2, mlp_b2[:, None, :],
+            )
+            if include_mlp else ()
+        ),
         self_k, self_v, ck_scale, cv_scale, ck, cv,
     )
     return new_x, k_new, v_new

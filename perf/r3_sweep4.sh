@@ -37,3 +37,5 @@ run decode_layerblk_r4  env OLMOASR_BENCH_MODE=decode OLMOASR_LAYER_BLOCK=1 OLMO
 run longform_beam5_layerblk env OLMOASR_BENCH_MODE=longform OLMOASR_BENCH_BEAM=1 OLMOASR_LAYER_BLOCK=1
 run train_bs16_deferl   env $T OLMOASR_BENCH_BATCH=16 OLMOASR_ATTN_DEFER_L=1
 run train_bs16_deferl_bf16exp env $T OLMOASR_BENCH_BATCH=16 OLMOASR_ATTN_DEFER_L=1 OLMOASR_ATTN_BF16_EXP=1
+run decode_layerblk_sc  env OLMOASR_BENCH_MODE=decode OLMOASR_LAYER_BLOCK=sc
+run longform_beam5_layerblk_sc env OLMOASR_BENCH_MODE=longform OLMOASR_BENCH_BEAM=1 OLMOASR_LAYER_BLOCK=sc

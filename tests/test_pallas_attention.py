@@ -925,3 +925,50 @@ def test_defer_l_backward_matches_default(monkeypatch):
             np.asarray(a, np.float32), np.asarray(b, np.float32), atol=2e-2,
             rtol=1e-2,
         )
+
+
+def test_layer_block_sc_mode_stops_after_cross():
+    """include_mlp=False ("sc"): the kernel output is the post-cross residual
+    stream (the caller runs mlp_block) — checked against the composition."""
+    from olmoasr_tpu.models.whisper import (
+        _attend_cached, _linear, layer_norm,
+    )
+    from olmoasr_tpu.ops.attention import layer_block_decode
+
+    B, C, T, D, F, H, L = 4, 96, 96, 64, 128, 4, 2
+    ks = jax.random.split(jax.random.PRNGKey(66), 24)
+    mk = lambda i, *sh: jax.random.normal(ks[i], sh) * 0.2
+    x = mk(0, B, 1, D)
+    g1, b1 = jnp.ones((L, D)) * 1.05, jnp.zeros((L, D)) + 0.02
+    wqkv, bqkv = mk(1, L, D, 3 * D), mk(2, L, 3 * D)
+    wo1, bo1 = mk(3, L, D, D), mk(4, L, D)
+    g2, b2 = jnp.ones((L, D)) * 0.95, mk(5, L, D) * 0.1
+    wq, bq = mk(6, L, D, D), mk(7, L, D)
+    wo2, bo2 = mk(8, L, D, D), mk(9, L, D)
+    g3, b3 = jnp.ones((L, D)), mk(10, L, D) * 0.1
+    w1, b1m = mk(11, L, D, F), mk(12, L, F)
+    w2, b2m = mk(13, L, F, D), mk(14, L, D)
+    kr, vr = mk(15, L, B, C, D), mk(16, L, B, C, D)
+    ckq, cks = _quantize_rows(jax.random.normal(ks[17], (L, B, T, D)))
+    cvq, cvs = _quantize_rows(jax.random.normal(ks[18], (L, B, T, D)))
+    li, off = 0, 96
+
+    h = layer_norm(x, g1[li], b1[li])
+    qkv = _linear(h, wqkv[li], bqkv[li])
+    q, kn, vn = qkv[..., :D], qkv[..., D : 2 * D], qkv[..., 2 * D :]
+    attn = _attend_cached(q, kr[li], vr[li], kn, vn, jnp.int32(off), H)
+    x1 = x + _linear(attn, wo1[li], bo1[li])
+    qc = _linear(layer_norm(x1, g2[li], b2[li]), wq[li], bq[li])
+    cattn = cross_attend(qc, ckq[li], cvq[li], H, cks[li], cvs[li])
+    want = x1 + _linear(cattn, wo2[li], bo2[li])  # post-cross, NO MLP
+
+    got_x, got_k, got_v = layer_block_decode(
+        x, g1, b1, wqkv, bqkv, wo1, bo1, g2, b2, wq, bq, wo2, bo2,
+        g3, b3, w1, b1m, w2, b2m, kr, vr,
+        ckq.transpose(0, 1, 3, 2), cvq, cks, cvs,
+        jnp.int32(off), jnp.int32(li), n_head=H, rows=2, include_mlp=False,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(kn), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(vn), atol=3e-5)
