@@ -32,9 +32,10 @@ run longform_beam5      env OLMOASR_BENCH_MODE=longform OLMOASR_BENCH_BEAM=1
 # -- train-attention softmax VPU hypothesis --
 run train_bs16_bf16exp  env $T OLMOASR_BENCH_BATCH=16 OLMOASR_ATTN_BF16_EXP=1
 # -- fused decoder-layer kernel (1 launch/layer; self+MLP hide under cross DMA) --
+# full-layer fusion (LAYER_BLOCK=1): weight blocks ~16.5MB > ~16MB VMEM at
+# small.en — one leg kept to confirm the budget math, r4/beam variants
+# pruned (same expected OOM)
 run decode_layerblk     env OLMOASR_BENCH_MODE=decode OLMOASR_LAYER_BLOCK=1
-run decode_layerblk_r4  env OLMOASR_BENCH_MODE=decode OLMOASR_LAYER_BLOCK=1 OLMOASR_LAYER_ROWS=4
-run longform_beam5_layerblk env OLMOASR_BENCH_MODE=longform OLMOASR_BENCH_BEAM=1 OLMOASR_LAYER_BLOCK=1
 run train_bs16_deferl   env $T OLMOASR_BENCH_BATCH=16 OLMOASR_ATTN_DEFER_L=1
 run train_bs16_deferl_bf16exp env $T OLMOASR_BENCH_BATCH=16 OLMOASR_ATTN_DEFER_L=1 OLMOASR_ATTN_BF16_EXP=1
 run decode_layerblk_sc  env OLMOASR_BENCH_MODE=decode OLMOASR_LAYER_BLOCK=sc
