@@ -72,5 +72,5 @@ k = jnp.asarray(rng.standard_normal((256, 1536, 64)), jnp.bfloat16)
 bench("bf16 qK^T bh=256 T=1536 D=64",
       lambda q, k: jnp.einsum("bqd,bkd->bqk", q, k), q, k,
       flops=2 * 256 * 1536 * 1536 * 64)
-print(f"measured ceiling: {ceil:.1f} TF/s = {ceil/PEAK*100:.1f}% of datasheet 197",
+print(f"measured ceiling: {ceil:.1f} TF/s = {ceil/PEAK*1e14:.1f}% of datasheet 197",
       flush=True)
