@@ -952,17 +952,27 @@ def decode_step(
         S == 1 and on_tpu and os.environ.get("OLMOASR_PALLAS_MLP", "1") == "1"
     )
     # whole decoder layer in ONE launch (self + cross + MLP;
-    # ops/attention.py::layer_block_decode). Opt-in pending on-chip A/B.
-    # "1" fuses the whole layer (self+cross+MLP, one launch — only fits
-    # VMEM for D<768 models); "sc" fuses self+cross (5 launches -> 2) and
-    # runs the MLP through mlp_block, fitting small.en's weight budget
-    lb_mode = os.environ.get("OLMOASR_LAYER_BLOCK", "0")
+    # ops/attention.py::layer_block_decode).
+    # "1" fuses the whole layer (self+cross+MLP, one launch — 19.4M scoped
+    # VMEM at small.en, over the 16M budget: OOMs; kept for D<768 models);
+    # "sc" fuses self+cross (5 launches -> 2) and runs the MLP through
+    # mlp_block, fitting small.en's weight budget. "sc" is the default:
+    # measured 1451 vs 1441 RTFx at B=128 greedy (perf/r3_sweep4.log).
+    # Beam/best_of (shared cross groups / ancestry rings) stays on the
+    # split kernels: the beam-mode layer block needs 18.1M scoped VMEM at
+    # batch 32 x beam 5 (OOM, perf/r3_beamlb_repro.log) — re-enable via
+    # OLMOASR_LAYER_BLOCK_BEAM=1 on parts with more VMEM.
+    lb_mode = os.environ.get("OLMOASR_LAYER_BLOCK", "sc")
+    lb_beam_ok = (beam_anc is None and kv_group == 1) or (
+        os.environ.get("OLMOASR_LAYER_BLOCK_BEAM", "0") == "1"
+    )
     use_layer_block = (
         S == 1
         and on_tpu
         and lb_mode in ("1", "sc")
         and not self_quant
         and ck_t
+        and lb_beam_ok
     )
 
     # fused q/k/v projection weights: one MXU matmul instead of three small
@@ -1019,50 +1029,32 @@ def decode_step(
                 self_attend_decode,
             )
 
-            if (
-                os.environ.get("OLMOASR_SELF_BLOCK", "0") == "1"
-                and not self_quant
-                and beam_anc is None
-            ):
-                # whole self sub-block in ONE kernel (LN+QKV+attention+
-                # o-proj+residual; r1's per-row version lost at B=32 with f32
-                # dots — re-benched with the modern math + multi-row)
-                from olmoasr_tpu.ops.attention import self_block_decode
-
-                x, k_new, v_new = self_block_decode(
-                    x, blocks["attn_ln_g"], blocks["attn_ln_b"], qkv_w, qkv_b,
-                    blocks["attn_o_w"], blocks["attn_o_b"],
-                    cache.self_k, cache.self_v, offset, li,
-                    n_head=dims.n_text_head,
-                    rows=int(os.environ.get("OLMOASR_SELF_ROWS", "8")),
-                )
-                x = x.astype(dtype)
-                k_new = k_new.astype(dtype)
-                v_new = v_new.astype(dtype)
-            else:
-                # batched fused LN+QKV (one launch; same grid=(1,) pattern as
-                # mlp_block)
-                qkv = ln_matmul(
-                    x, blocks["attn_ln_g"], blocks["attn_ln_b"], qkv_w, qkv_b,
-                    li,
-                )
-                q = qkv[..., :D]
-                k_new = qkv[..., D : 2 * D]
-                v_new = qkv[..., 2 * D :]
-                # attention-only kernel over the full stacked rings
-                attn = self_attend_decode(
-                    q, cache.self_k, cache.self_v, k_new, v_new, offset, li,
-                    cache.self_k_scale, cache.self_v_scale,
-                    n_head=dims.n_text_head,
-                    # rows=8 measured best at B=128 (1356 vs 1317 RTFx; 16
-                    # blows VMEM); falls back to 1 when B isn't divisible
-                    rows=int(os.environ.get("OLMOASR_SELF_ROWS", "8")),
-                    ht=os.environ.get("OLMOASR_SELF_HT", "0") == "1",
-                    beam_anc=beam_anc, beam_k=kv_group,
-                ).astype(x.dtype)
-                x = matmul_residual(
-                    attn, x, blocks["attn_o_w"], blocks["attn_o_b"], li
-                )
+            # batched fused LN+QKV (one launch; same grid=(1,) pattern as
+            # mlp_block). (The standalone fused self sub-block kernel that
+            # used to sit here was retired in r3: 17.78M scoped VMEM at its
+            # benched config — over the 16M budget — and strictly dominated
+            # by the default self+cross layer block above.)
+            qkv = ln_matmul(
+                x, blocks["attn_ln_g"], blocks["attn_ln_b"], qkv_w, qkv_b,
+                li,
+            )
+            q = qkv[..., :D]
+            k_new = qkv[..., D : 2 * D]
+            v_new = qkv[..., 2 * D :]
+            # attention-only kernel over the full stacked rings
+            attn = self_attend_decode(
+                q, cache.self_k, cache.self_v, k_new, v_new, offset, li,
+                cache.self_k_scale, cache.self_v_scale,
+                n_head=dims.n_text_head,
+                # rows=8 measured best at B=128 (1356 vs 1317 RTFx; 16
+                # blows VMEM); falls back to 1 when B isn't divisible
+                rows=int(os.environ.get("OLMOASR_SELF_ROWS", "8")),
+                ht=os.environ.get("OLMOASR_SELF_HT", "0") == "1",
+                beam_anc=beam_anc, beam_k=kv_group,
+            ).astype(x.dtype)
+            x = matmul_residual(
+                attn, x, blocks["attn_o_w"], blocks["attn_o_b"], li
+            )
             if not use_pallas_cross_block:
                 qc = ln_matmul(
                     x, blocks["cross_ln_g"], blocks["cross_ln_b"],

@@ -447,56 +447,6 @@ def matmul_residual(
     return out[:, None, :]
 
 
-def _self_block_kernel(
-    s_ref,  # scalar prefetch (2,) int32: [layer_idx, offset]
-    x_ref,  # (rows, 1, D) residual stream, this program's batch rows
-    g_ref,  # (1, 1, D) attn LN gain
-    b_ref,  # (1, 1, D) attn LN bias
-    wqkv_ref,  # (1, D, 3D)
-    bqkv_ref,  # (1, 1, 3D)
-    wo_ref,  # (1, D, D)
-    bo_ref,  # (1, 1, D)
-    k_ref,  # (1, rows, C, D) ring block
-    v_ref,  # (1, rows, C, D)
-    o_ref,  # (rows, 1, D) new residual stream
-    kn_ref,  # (rows, 1, D) new key out
-    vn_ref,  # (rows, 1, D) new value out
-    *,
-    n_head: int,
-    rows: int = 1,
-):
-    # LN + QKV + out-proj are batched across the program's rows (one M=rows
-    # MXU dot instead of `rows` M=1 dots); only the softmax-attention against
-    # each row's private ring stays per-row.
-    D = x_ref.shape[-1]
-    dd = _dot_dtype(x_ref.dtype)
-    x = x_ref[:, 0, :].astype(jnp.float32)  # (rows, D)
-    mean = jnp.mean(x, axis=1, keepdims=True)
-    var = jnp.mean((x - mean) ** 2, axis=1, keepdims=True)
-    h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
-    h = h * g_ref[0, 0, :].astype(jnp.float32) + b_ref[0, 0, :].astype(jnp.float32)
-    qkv = jnp.dot(
-        h.astype(dd), wqkv_ref[0, :, :].astype(dd),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[0, 0, :].astype(jnp.float32)  # (rows, 3D)
-    kn_ref[:, 0, :] = qkv[:, D : 2 * D].astype(kn_ref.dtype)
-    vn_ref[:, 0, :] = qkv[:, 2 * D :].astype(vn_ref.dtype)
-
-    attn = jnp.zeros((rows, D), jnp.float32)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, D), 0)
-    for r in range(rows):
-        a = _self_block_attend(
-            s_ref, qkv[r], k_ref[0, r, :, :], v_ref[0, r, :, :],
-            n_head=n_head, dd=dd,
-        )
-        attn = jnp.where(row_ids == r, a[None, :], attn)
-    out = jnp.dot(
-        attn.astype(dd), wo_ref[0, :, :].astype(dd),
-        preferred_element_type=jnp.float32,
-    ) + bo_ref[0, 0, :].astype(jnp.float32)
-    o_ref[:, 0, :] = (x + out).astype(o_ref.dtype)
-
-
 def _self_block_attend(s_ref, qkv_r, k_slice, v_slice, *, n_head, dd):
     """One row's online-softmax attention against its (C, D) ring slice (bf16
     dots + transposed value contraction — the r1 version used f32 MXU passes
@@ -537,80 +487,6 @@ def _self_block_attend(s_ref, qkv_r, k_slice, v_slice, *, n_head, dd):
     attn = jnp.sum(out2 * hsel, axis=0)  # (D,)
     wn_d = jnp.sum(hsel * w_new.T, axis=0)  # (D,): w_new[d//dh]
     return attn + wn_d * vn
-
-
-@functools.partial(jax.jit, static_argnames=("n_head", "rows", "interpret"))
-def self_block_decode(
-    x: jax.Array,  # (B, 1, D) residual stream
-    ln_g: jax.Array,  # (L, D)
-    ln_b: jax.Array,
-    wqkv: jax.Array,  # (L, D, 3D)
-    bqkv: jax.Array,  # (L, 3D)
-    wo: jax.Array,  # (L, D, D)
-    bo: jax.Array,  # (L, D)
-    k_ring: jax.Array,  # (L, B, C, D)
-    v_ring: jax.Array,
-    offset: jax.Array,
-    layer_idx: jax.Array,
-    *,
-    n_head: int,
-    rows: int = 1,
-    interpret: bool = False,
-):
-    """Whole decode-step self-attention sub-block in ONE kernel per layer:
-    fp32 LN + fused QKV matmul + online-softmax attention over the read-only
-    ring + output projection + residual. Weight blocks are grid-constant, so
-    Mosaic fetches them once across the B grid steps; ring blocks stream
-    per row. Returns (new_x, k_new, v_new)."""
-    B, S, D = x.shape
-    assert S == 1
-    L, _, C, _ = k_ring.shape
-    if rows <= 0 or B % rows != 0:
-        rows = 1
-    scalars = jnp.stack([layer_idx.astype(jnp.int32), offset.astype(jnp.int32)])
-
-    row3 = lambda b, s: (b, 0, 0)
-    lay3 = lambda b, s: (s[0], 0, 0)
-    ring = lambda b, s: (s[0], b, 0, 0)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B // rows,),
-        in_specs=[
-            pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),  # x
-            pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, 3 * D), lay3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 3 * D), lay3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, D), lay3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lay3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, C, D), ring, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, C, D), ring, memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),
-        ),
-    )
-    new_x, k_new, v_new = pl.pallas_call(
-        functools.partial(_self_block_kernel, n_head=n_head, rows=rows),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, 1, D), x.dtype),
-            jax.ShapeDtypeStruct((B, 1, D), x.dtype),
-            jax.ShapeDtypeStruct((B, 1, D), x.dtype),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * D * (4 * D + 2 * C),
-            bytes_accessed=B * 2 * C * D * 2 + 4 * D * D * 2,
-            transcendentals=B * C * n_head,
-        ),
-        interpret=interpret,
-    )(
-        scalars, x, ln_g[:, None, :], ln_b[:, None, :], wqkv, bqkv[:, None, :],
-        wo, bo[:, None, :], k_ring, v_ring,
-    )
-    return new_x, k_new, v_new
 
 
 @functools.partial(
