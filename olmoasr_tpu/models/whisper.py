@@ -994,7 +994,7 @@ def decode_step(
         # — rewriting the rings per layer forces XLA to copy the full cache
         # every step (measured 5.4 ms/step on v5e before this change).
         lp, wqkv, bqkv, sk, sv, sks, svs, ck, cv, cks, cvs, li = layer_state
-        if use_layer_block and not use_interleaved_v:
+        if lb_effective:
             from olmoasr_tpu.ops.attention import layer_block_decode, mlp_block
 
             nx, k_new, v_new = layer_block_decode(
@@ -1014,11 +1014,17 @@ def decode_step(
                 include_mlp=lb_mode == "1",
             )
             if lb_mode == "sc":
-                nx = mlp_block(
-                    nx, blocks["mlp_ln_g"], blocks["mlp_ln_b"],
-                    blocks["mlp_w1"], blocks["mlp_b1"], blocks["mlp_w2"],
-                    blocks["mlp_b2"], li,
-                )
+                if use_pallas_mlp:
+                    nx = mlp_block(
+                        nx, blocks["mlp_ln_g"], blocks["mlp_ln_b"],
+                        blocks["mlp_w1"], blocks["mlp_b1"], blocks["mlp_w2"],
+                        blocks["mlp_b2"], li,
+                    )
+                else:  # honor OLMOASR_PALLAS_MLP=0 in sc mode (debug knob)
+                    h = layer_norm(nx, lp["mlp_ln_g"], lp["mlp_ln_b"])
+                    h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
+                    h = jax.nn.gelu(h, approximate=False)
+                    nx = nx + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
             return nx.astype(dtype), (
                 k_new.astype(dtype), v_new.astype(dtype)
             )
@@ -1157,6 +1163,11 @@ def decode_step(
     # expansion becomes a lane tile; the out-projection's rows are permuted
     # to compensate (scan-invariant — XLA hoists the gather out of the scan)
     use_interleaved_v = use_pallas_cross_block and cache.cross_v_il is not None
+    # the layer block only runs when V isn't head-interleaved; key every
+    # use-site (incl. the xs stripping below) on the EFFECTIVE flag so e.g.
+    # OLMOASR_PALLAS_SELF=0 + OLMOASR_CROSS_VIL=1 falls back to a path that
+    # still has its self caches in the scan xs
+    lb_effective = use_layer_block and not use_interleaved_v
     if use_interleaved_v:
         H = dims.n_text_head
         dh = D // H
@@ -1167,7 +1178,7 @@ def decode_step(
         cross_o_w_eff = dec["blocks"]["cross_o_w"]
         cross_v_eff = cache.cross_v
     cross_ks, cross_vs = cache.cross_k_scale, cache.cross_v_scale
-    if (use_pallas_cross_block or use_layer_block) and cross_ks is None:
+    if (use_pallas_cross_block or lb_effective) and cross_ks is None:
         # the megakernel folds per-key scales unconditionally; bf16 caches
         # use ones (negligible extra read: (L, B, T) f32)
         L_, B_, T_, _ = cache.cross_v.shape
@@ -1177,16 +1188,16 @@ def decode_step(
         dec["blocks"], qkv_w, qkv_b,
         # when the pallas self kernel reads the full rings directly, keep them
         # OUT of the scan xs so XLA never materializes per-layer slices
-        None if (use_pallas_self or use_layer_block) else cache.self_k,
-        None if (use_pallas_self or use_layer_block) else cache.self_v,
-        None if (use_pallas_self or use_layer_block) else cache.self_k_scale,
-        None if (use_pallas_self or use_layer_block) else cache.self_v_scale,
+        None if (use_pallas_self or lb_effective) else cache.self_k,
+        None if (use_pallas_self or lb_effective) else cache.self_v,
+        None if (use_pallas_self or lb_effective) else cache.self_k_scale,
+        None if (use_pallas_self or lb_effective) else cache.self_v_scale,
         # same for the cross cache when the fused cross kernel indexes the
         # full stacked (L, B, T, D) tensors by scalar-prefetch layer index
-        None if (use_pallas_cross_block or use_layer_block) else cache.cross_k,
-        None if (use_pallas_cross_block or use_layer_block) else cache.cross_v,
-        None if (use_pallas_cross_block or use_layer_block) else cache.cross_k_scale,
-        None if (use_pallas_cross_block or use_layer_block) else cache.cross_v_scale,
+        None if (use_pallas_cross_block or lb_effective) else cache.cross_k,
+        None if (use_pallas_cross_block or lb_effective) else cache.cross_v,
+        None if (use_pallas_cross_block or lb_effective) else cache.cross_k_scale,
+        None if (use_pallas_cross_block or lb_effective) else cache.cross_v_scale,
         jnp.arange(L, dtype=jnp.int32),
     )
     # NOTE: unrolling this layer loop (unroll=n_text_layer) made the remote

@@ -8,4 +8,3 @@ run() {
 }
 run int8_base      OLMOASR_BENCH_KV_QUANT=1
 run bf16_kv        OLMOASR_BENCH_KV_QUANT=0
-run int8_selfblock OLMOASR_BENCH_KV_QUANT=1 OLMOASR_SELF_BLOCK=1

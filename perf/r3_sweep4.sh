@@ -24,7 +24,6 @@ run train_bs24          env $T OLMOASR_BENCH_BATCH=24
 run train_bs16_norem    env $T OLMOASR_BENCH_BATCH=16 OLMOASR_BENCH_REMAT=0
 # -- decode records --
 run decode_bf16kv       env OLMOASR_BENCH_MODE=decode OLMOASR_BENCH_KV_QUANT=0
-run decode_int8_selfblk env OLMOASR_BENCH_MODE=decode OLMOASR_SELF_BLOCK=1
 run decode_int8_head    env OLMOASR_BENCH_MODE=decode
 # -- long-form records with upload/decode split --
 run longform_greedy     env OLMOASR_BENCH_MODE=longform

@@ -282,40 +282,6 @@ def test_cross_block_transposed_k(dtype):
     assert err < (3e-5 if dtype == jnp.float32 else 0.03), err
 
 
-def test_self_block_fused_matches_composition():
-    """The fused self sub-block kernel (LN+QKV+attention+o-proj+residual) ==
-    the composed XLA reference, for rows 1 and 2 and several offsets."""
-    from olmoasr_tpu.models.whisper import _attend_cached, layer_norm, _linear
-    from olmoasr_tpu.ops.attention import self_block_decode
-
-    B, C, D, H, L = 4, 96, 64, 4, 2
-    ks = jax.random.split(jax.random.PRNGKey(21), 12)
-    mk = lambda i, *sh: jax.random.normal(ks[i], sh) * 0.2
-    x = mk(0, B, 1, D)
-    g, b = jnp.ones((L, D)) * 1.1, jnp.zeros((L, D)) + 0.05
-    wqkv, bqkv = mk(1, L, D, 3 * D), mk(2, L, 3 * D)
-    wo, bo = mk(3, L, D, D), mk(4, L, D)
-    kr = mk(5, L, B, C, D)
-    vr = mk(6, L, B, C, D)
-    li = 1
-    for off in (0, 40, 96):
-        h = layer_norm(x, g[li], b[li])
-        qkv = _linear(h, wqkv[li], bqkv[li])
-        q, kn, vn = qkv[..., :D], qkv[..., D : 2 * D], qkv[..., 2 * D :]
-        attn = _attend_cached(q, kr[li], vr[li], kn, vn, jnp.int32(off), H)
-        want_x = x + _linear(attn, wo[li], bo[li])
-        for rows in (1, 2, 4):
-            got_x, got_k, got_v = self_block_decode(
-                x, g, b, wqkv, bqkv, wo, bo, kr, vr, jnp.int32(off),
-                jnp.int32(li), n_head=H, rows=rows, interpret=True,
-            )
-            np.testing.assert_allclose(
-                np.asarray(got_x), np.asarray(want_x), atol=3e-5
-            )
-            np.testing.assert_allclose(np.asarray(got_k), np.asarray(kn), atol=3e-5)
-            np.testing.assert_allclose(np.asarray(got_v), np.asarray(vn), atol=3e-5)
-
-
 def test_cross_block_transposed_k_rows():
     """Multi-row kt programs (rows=2) == rows=1."""
     from olmoasr_tpu.ops.attention import cross_block_decode
