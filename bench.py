@@ -46,12 +46,25 @@ def train_flops_per_sample(dims) -> float:
     return 3.0 * fwd  # fwd + bwd(2x)
 
 
+def _emit(rec):
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
 def bench_train():
     """Training-step throughput (tokens/s/chip) + MFU on one chip.
 
     The reference's throughput metric is audio_min_per_GPU_second
     (train_timestamps.py:1525-1538); we report both, plus v5e MFU and the
     break-even H100 MFU (docs/TRAIN_PERF.md). Set OLMOASR_BENCH_MODE=train.
+
+    Timing is CHAINED: steps are dispatched back-to-back (the carried train
+    state serializes them on device) and the loss is fetched once at the end.
+    Fetching the loss every step — the r1-r3 methodology — pays a ~33ms
+    device->host round trip per step through the tunneled chip
+    (perf/r4_timing.md), understating medium.en bs16 MFU by ~3%
+    (0.381 -> 0.392). Real trainers log metrics asynchronously, so the
+    chained number is the honest chip throughput.
     """
     import olmoasr_tpu.cache_config  # noqa: F401 (persistent XLA cache)
     import jax
@@ -101,11 +114,19 @@ def bench_train():
 
     state, metrics = step(state, batch)  # compile
     _ = float(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch)
-        _ = float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
+
+    def chain(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        m = metrics
+        for _ in range(n):
+            state, m = step(state, batch)
+        _ = float(m["loss"])  # one fetch syncs the whole chain
+        return time.perf_counter() - t0
+
+    chain(2)  # warm the steady state
+    t_short, t_long = chain(2), chain(2 + iters)
+    dt = (t_long - t_short) / iters  # chain difference cancels the fetch RTT
 
     # tokens = text positions + audio positions per the usual convention;
     # report text tokens/s (the H100 comparison basis) and audio-min/s
@@ -117,18 +138,16 @@ def bench_train():
     # MFU the torch reference would need ON H100 to match this chip's
     # absolute tokens/s — the falsifiable form of ">= H100 tokens/s/chip"
     breakeven_h100_mfu = flops_step / dt / H100_PEAK
-    print(
-        json.dumps(
-            {
-                "metric": f"training step throughput ({variant}, micro_bs={micro_bs}, remat={remat}, bf16)",
-                "value": round(tokens_per_step / dt, 1),
-                "unit": "text-tokens/s/chip",
-                "vs_baseline": round((micro_bs * 30.0 / 60.0) / dt, 4),
-                "mfu_v5e": round(mfu_v5e, 4),
-                "breakeven_h100_mfu": round(breakeven_h100_mfu, 4),
-                "flops_per_step": flops_step,
-            }
-        )
+    return _emit(
+        {
+            "metric": f"training step throughput ({variant}, micro_bs={micro_bs}, remat={remat}, bf16)",
+            "value": round(tokens_per_step / dt, 1),
+            "unit": "text-tokens/s/chip",
+            "vs_baseline": round((micro_bs * 30.0 / 60.0) / dt, 4),
+            "mfu_v5e": round(mfu_v5e, 4),
+            "breakeven_h100_mfu": round(breakeven_h100_mfu, 4),
+            "flops_per_step": flops_step,
+        }
     )
 
 
@@ -208,18 +227,16 @@ def bench_longform():
                 n_files * file_seconds / (wall - upload_s), 1
             ),
         }
-    print(
-        json.dumps(
-            {
-                "metric": f"long-form RTFx transcribe_many ({variant}, "
-                f"{n_files}x{file_seconds:.0f}s files, batch {batch}, "
-                f"{'beam5' if beam else 'greedy'}, int8 KV)",
-                "value": round(rtfx, 1),
-                "unit": "audio-sec/s/chip",
-                "vs_baseline": round(rtfx / 1000.0, 3),
-                **extra,
-            }
-        )
+    return _emit(
+        {
+            "metric": f"long-form RTFx transcribe_many ({variant}, "
+            f"{n_files}x{file_seconds:.0f}s files, batch {batch}, "
+            f"{'beam5' if beam else 'greedy'}, int8 KV)",
+            "value": round(rtfx, 1),
+            "unit": "audio-sec/s/chip",
+            "vs_baseline": round(rtfx / 1000.0, 3),
+            **extra,
+        }
     )
 
 
@@ -255,26 +272,24 @@ def bench_data():
     t0 = _time.perf_counter()
     count = sum(b["mel"].shape[0] * b["mel"].shape[1] for b in loader)
     dt = _time.perf_counter() - t0
-    print(
-        json.dumps(
-            {
-                "metric": f"input pipeline throughput ({workers} workers, "
-                + (
-                    "30s segments: npy->pcm->tokens->mask, mel on device)"
-                    if device_mel
-                    else "30s segments: npy->mel->tokens->mask)"
-                ),
-                "value": round(count / dt, 1),
-                "unit": "samples/s/host",
-                # vs the 512-segment global batch at a 1s step (the
-                # reference's effective-batch shape, train_timestamps.py)
-                "vs_baseline": round((count / dt) / 512.0, 3),
-            }
-        )
+    return _emit(
+        {
+            "metric": f"input pipeline throughput ({workers} workers, "
+            + (
+                "30s segments: npy->pcm->tokens->mask, mel on device)"
+                if device_mel
+                else "30s segments: npy->mel->tokens->mask)"
+            ),
+            "value": round(count / dt, 1),
+            "unit": "samples/s/host",
+            # vs the 512-segment global batch at a 1s step (the
+            # reference's effective-batch shape, train_timestamps.py)
+            "vs_baseline": round((count / dt) / 512.0, 3),
+        }
     )
 
 
-def main():
+def bench_decode():
     import olmoasr_tpu.cache_config  # persistent XLA cache
     import jax
     import jax.numpy as jnp
@@ -342,26 +357,99 @@ def main():
 
     audio_seconds = batch * 30.0 * iters
     rtfx = audio_seconds / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": f"RTFx batched transcribe ({variant}, B={batch}, "
-                f"{sample_len} decode steps{', int8 KV' if kv_quant else ''})",
-                "value": round(rtfx, 1),
-                "unit": "audio-sec/s/chip",
-                "vs_baseline": round(rtfx / 1000.0, 3),
-            }
-        )
+    return _emit(
+        {
+            "metric": f"RTFx batched transcribe ({variant}, B={batch}, "
+            f"{sample_len} decode steps{', int8 KV' if kv_quant else ''})",
+            "value": round(rtfx, 1),
+            "unit": "audio-sec/s/chip",
+            "vs_baseline": round(rtfx / 1000.0, 3),
+        }
+    )
+
+
+# Axes of the full perf snapshot (default mode): every headline metric the
+# framework claims, one subprocess per axis so an OOM/crash in one cannot
+# take down the rest and each axis gets the whole HBM.
+SNAPSHOT_AXES = [
+    ("decode_int8", {}),
+    ("decode_bf16", {"OLMOASR_BENCH_KV_QUANT": "0", "OLMOASR_BENCH_BATCH": "64"}),
+    ("longform_greedy", {"OLMOASR_BENCH_MODE": "longform"}),
+    (
+        "longform_beam5",
+        {"OLMOASR_BENCH_MODE": "longform", "OLMOASR_BENCH_BEAM": "1"},
+    ),
+    (
+        "train",
+        {
+            "OLMOASR_BENCH_MODE": "train",
+            "OLMOASR_BENCH_MU16": "1",
+            "OLMOASR_BENCH_BATCH": "16",
+        },
+    ),
+]
+
+
+def bench_all():
+    """Full perf snapshot: run every axis in SNAPSHOT_AXES as a subprocess,
+    stream each axis's JSON line through, and finish with ONE combined JSON
+    line (the driver parses the last line) whose headline value is the
+    decode-int8 RTFx and whose ``axes`` object carries every axis record.
+    """
+    import subprocess
+    import sys
+
+    axes = {}
+    for name, env in SNAPSHOT_AXES:
+        proc_env = dict(os.environ)
+        proc_env.update(env)
+        proc_env["OLMOASR_BENCH_SINGLE"] = "1"
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=proc_env, capture_output=True, text=True, timeout=1800,
+            )
+            rec = None
+            for line in reversed(out.stdout.strip().splitlines()):
+                try:
+                    rec = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            if rec is None:
+                rec = {
+                    "error": (out.stderr or out.stdout or "no output")
+                    .strip()
+                    .splitlines()[-1][:300],
+                    "rc": out.returncode,
+                }
+        except subprocess.TimeoutExpired:
+            rec = {"error": "timeout"}
+        rec["axis"] = name
+        axes[name] = _emit(rec)
+
+    head = axes.get("decode_int8", {})
+    _emit(
+        {
+            "metric": "perf snapshot (headline: " + head.get("metric", "n/a") + ")",
+            "value": head.get("value", 0.0),
+            "unit": head.get("unit", "audio-sec/s/chip"),
+            "vs_baseline": head.get("vs_baseline", 0.0),
+            "axes": axes,
+        }
     )
 
 
 if __name__ == "__main__":
     mode = os.environ.get("OLMOASR_BENCH_MODE")
+    single = os.environ.get("OLMOASR_BENCH_SINGLE") == "1"
     if mode == "train":
         bench_train()
     elif mode == "longform":
         bench_longform()
     elif mode == "data":
         bench_data()
+    elif mode in ("decode", "decode_int8") or single:
+        bench_decode()
     else:
-        main()
+        bench_all()
