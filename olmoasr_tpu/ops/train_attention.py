@@ -110,6 +110,30 @@ def _mask_block(s: jax.Array, causal: bool, bq: int) -> jax.Array:
     return jnp.where(cols > rows, jnp.float32(NEG), s)
 
 
+def _whole_row() -> bool:
+    # whole-row grid: one program per (batch, head) row, python loop over
+    # q sub-blocks — k/v stream into VMEM ONCE per row instead of once per
+    # (row, q-block). Measured on v5e at the encoder training shape
+    # (perf/r4_timing.md, perf/probe_pipe.py row256 / probe_bwd.py row256):
+    # fwd 52.8 -> 58.3 TF/s (+10%), bwd +3%. Read at trace time.
+    return os.environ.get("OLMOASR_ATTN_WHOLE_ROW", "1") == "1"
+
+
+def _row_sub_block(tq: int, tk: int) -> int:
+    """Largest 128-multiple divisor of ``tq`` whose (sb, Tk) f32 score block
+    stays <= ~1.6MB VMEM (sb=256 at the 1536-key encoder shape — the measured
+    best; decoder 512-key shapes run the whole row in one block)."""
+    cap = int(os.environ.get("OLMOASR_ATTN_ROW_SB", "0"))
+    if cap:
+        return _dividing_block(cap, tq)
+    budget = 1_638_400  # bytes of f32 scores
+    best = 128
+    for sb in range(128, tq + 1, 128):
+        if tq % sb == 0 and sb * tk * 4 <= budget:
+            best = sb
+    return best
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -135,6 +159,35 @@ def _make_fwd_kernel(causal: bool, bq: int):
     return _fwd_kernel
 
 
+def _make_fwd_row_kernel(causal: bool, sb: int, ns: int):
+    def _fwd_row_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+        # q/o: (1, Tq, dh), k/v: (1, Tk, dh), bias: (1, 1, Tk)
+        kk = k_ref[0]
+        vv = v_ref[0]
+        bb = bias_ref[0]
+        for a in range(ns):
+            sl = slice(a * sb, (a + 1) * sb)
+            s = jax.lax.dot_general(
+                q_ref[0, sl], kk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bb
+            if causal:
+                rows = (
+                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + a * sb
+                )
+                cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(cols > rows, jnp.float32(NEG), s)
+            _, pb, l = _softmax_rows(s)
+            o = jax.lax.dot_general(
+                pb, vv, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, sl] = (o / l).astype(o_ref.dtype)
+
+    return _fwd_row_kernel
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_head", "causal", "block_q", "interpret")
 )
@@ -152,12 +205,28 @@ def _attn_fwd(
     N, Tq, dh = q.shape
     Tk = k.shape[1]
     Bb = bias.shape[0]
-    bq = _dividing_block(block_q, Tq)
-    grid = (N, Tq // bq)
     # bias rides as (Bb, 1, Tk): Mosaic requires the last two block dims to
     # equal the array dims (or be 8/128-divisible), which a (1, Tk) slice of
     # a (B, Tk) array is not
     bias3 = bias[:, None, :]
+    if _whole_row() and Tq <= 2048:
+        sb = _row_sub_block(Tq, Tk)
+        row = pl.BlockSpec((1, Tq, dh), lambda n: (n, 0, 0))
+        kv = pl.BlockSpec((1, Tk, dh), lambda n: (n, 0, 0))
+        bias_ix1 = (
+            (lambda n: (0, 0, 0)) if Bb == 1
+            else (lambda n: (n // n_head, 0, 0))
+        )
+        return pl.pallas_call(
+            _make_fwd_row_kernel(causal, sb, Tq // sb),
+            out_shape=jax.ShapeDtypeStruct((N, Tq, dh), q.dtype),
+            grid=(N,),
+            in_specs=[row, kv, kv, pl.BlockSpec((1, 1, Tk), bias_ix1)],
+            out_specs=row,
+            interpret=interpret,
+        )(q, k, v, bias3)
+    bq = _dividing_block(block_q, Tq)
+    grid = (N, Tq // bq)
     bias_ix = (
         (lambda n, i: (0, 0, 0)) if Bb == 1
         else (lambda n, i: (n // n_head, 0, 0))
@@ -248,6 +317,67 @@ def _make_bwd_kernel(causal: bool, bq: int):
     return _bwd_kernel
 
 
+def _make_bwd_row_kernel(causal: bool, sb: int, ns: int):
+    def _bwd_row_kernel(
+        q_ref, k_ref, v_ref, do_ref, bias_ref,
+        dq_ref, dk_ref, dv_ref,
+        dk_acc, dv_acc,
+    ):
+        kk = k_ref[0]  # (Tk, dh)
+        vv = v_ref[0]
+        bb = bias_ref[0]
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+        for a in range(ns):
+            sl = slice(a * sb, (a + 1) * sb)
+            qq = q_ref[0, sl]  # (sb, dh) pre-scaled
+            do = do_ref[0, sl]
+            s = jax.lax.dot_general(
+                qq, kk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bb
+            if causal:
+                rows = (
+                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + a * sb
+                )
+                cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(cols > rows, jnp.float32(NEG), s)
+            pn, pnb, l = _softmax_rows(s)
+            if _defer_l():
+                inv_l = 1.0 / l
+                do = (do.astype(jnp.float32) * inv_l).astype(jnp.bfloat16)
+                dp = jax.lax.dot_general(
+                    do, vv, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                delta = jnp.sum(dp * pn, axis=-1, keepdims=True) * inv_l
+            else:
+                pn = pn / l
+                pnb = pn.astype(jnp.bfloat16)
+                dp = jax.lax.dot_general(
+                    do, vv, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                delta = jnp.sum(dp * pn, axis=-1, keepdims=True)
+            ds = (pn * (dp - delta)).astype(jnp.bfloat16)
+            dq_ref[0, sl] = jax.lax.dot_general(
+                ds, kk, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dq_ref.dtype)
+            dk_acc[:] += jax.lax.dot_general(
+                ds, qq, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dv_acc[:] += jax.lax.dot_general(
+                pnb, do, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+    return _bwd_row_kernel
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_head", "causal", "block_q", "interpret")
 )
@@ -266,16 +396,36 @@ def _attn_bwd(
     N, Tq, dh = q.shape
     Tk = k.shape[1]
     Bb = bias.shape[0]
-    bq = _dividing_block(block_q, Tq)
-    grid = (N, Tq // bq)
     out_shapes = (
         jax.ShapeDtypeStruct((N, Tq, dh), q.dtype),  # dq (pre-scale basis)
         jax.ShapeDtypeStruct((N, Tk, dh), k.dtype),  # dk
         jax.ShapeDtypeStruct((N, Tk, dh), v.dtype),  # dv
     )
+    bias3 = bias[:, None, :]  # (Bb, 1, Tk) — see _attn_fwd
+    if _whole_row() and Tq <= 2048:
+        sb = _row_sub_block(Tq, Tk)
+        row = pl.BlockSpec((1, Tq, dh), lambda n: (n, 0, 0))
+        kv1 = pl.BlockSpec((1, Tk, dh), lambda n: (n, 0, 0))
+        bias_ix1 = (
+            (lambda n: (0, 0, 0)) if Bb == 1
+            else (lambda n: (n // n_head, 0, 0))
+        )
+        return pl.pallas_call(
+            _make_bwd_row_kernel(causal, sb, Tq // sb),
+            out_shape=out_shapes,
+            grid=(N,),
+            in_specs=[row, kv1, kv1, row, pl.BlockSpec((1, 1, Tk), bias_ix1)],
+            out_specs=(row, kv1, kv1),
+            scratch_shapes=[
+                pltpu.VMEM((Tk, dh), jnp.float32),  # dk accumulator
+                pltpu.VMEM((Tk, dh), jnp.float32),  # dv accumulator
+            ],
+            interpret=interpret,
+        )(q, k, v, do, bias3)
+    bq = _dividing_block(block_q, Tq)
+    grid = (N, Tq // bq)
     kv_spec = pl.BlockSpec((1, Tk, dh), lambda n, i: (n, 0, 0))
     qblk_spec = pl.BlockSpec((1, bq, dh), lambda n, i: (n, i, 0))
-    bias3 = bias[:, None, :]  # (Bb, 1, Tk) — see _attn_fwd
     bias_ix = (
         (lambda n, i: (0, 0, 0)) if Bb == 1
         else (lambda n, i: (n // n_head, 0, 0))

@@ -501,6 +501,64 @@ class TestTrainAttentionKernel:
             )
 
 
+class TestWholeRowTrainAttention:
+    """The whole-row grid variant (grid (N,), k/v loaded once per row —
+    default since r4, +10% fwd / +3% bwd on v5e, perf/r4_timing.md) must
+    match the grid-blocked kernels bit-for-bit in fwd and bwd.
+
+    The row/blocked switch is read at trace time, so the jit caches must be
+    cleared between env flips (same caveat as OLMOASR_ATTN_BF16_EXP)."""
+
+    @staticmethod
+    def _clear():
+        from olmoasr_tpu.ops import train_attention as ta
+
+        ta._attn_fwd.clear_cache()
+        ta._attn_bwd.clear_cache()
+
+    @pytest.mark.parametrize(
+        "Tq,Tk,causal", [(384, 384, False), (384, 384, True), (448, 300, False)]
+    )
+    def test_row_matches_blocked_fwd_bwd(self, Tq, Tk, causal, monkeypatch):
+        from olmoasr_tpu.ops.train_attention import train_attention
+
+        B, D, H = 2, 128, 2
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.standard_normal((B, Tq, D)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((B, Tk, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, Tk, D)), jnp.bfloat16)
+
+        def loss(q, k, v):
+            return jnp.sum(
+                train_attention(q, k, v, H, causal, True).astype(jnp.float32)
+                ** 2
+            )
+
+        outs = {}
+        for row in ("0", "1"):
+            monkeypatch.setenv("OLMOASR_ATTN_WHOLE_ROW", row)
+            self._clear()
+            o = train_attention(q, k, v, H, causal, True)
+            g = jax.grad(loss, (0, 1, 2))(q, k, v)
+            outs[row] = (np.asarray(o, np.float32),
+                         [np.asarray(x, np.float32) for x in g])
+        self._clear()
+        np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
+        # grads: identical math, but dk/dv accumulate in a different order
+        # (one whole-row dot vs per-q-block partial sums) — f32 rounding that
+        # can flip the final bf16 cast by 1 ulp (~0.8% rel on small values)
+        for a, b in zip(outs["0"][1], outs["1"][1]):
+            np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-2)
+
+    def test_row_sub_block_selection(self):
+        from olmoasr_tpu.ops.train_attention import _row_sub_block
+
+        assert _row_sub_block(1536, 1536) == 256  # encoder: measured best
+        assert _row_sub_block(512, 512) == 512    # decoder self: one block
+        assert _row_sub_block(512, 1536) == 256   # cross
+        assert _row_sub_block(128, 128) == 128
+
+
 class TestDecoderTrainAttentionKernels:
     """ops/train_attention.py decoder variants: causal self-attention with the
     loader's per-sample key bias, and 448q-over-1500k cross-attention."""
