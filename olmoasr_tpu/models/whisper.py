@@ -247,8 +247,14 @@ def _enc_pos_embedding(n_ctx: int, n_state: int) -> np.ndarray:
     return sinusoids(n_ctx, n_state)
 
 
-def _remat(fn, remat: bool):
+def _remat(fn, remat: bool, stack: str = ""):
     """Per-block rematerialization with a tunable policy.
+
+    ``stack`` ("enc"/"dec") lets OLMOASR_REMAT_POLICY_ENC /
+    OLMOASR_REMAT_POLICY_DEC override the global policy per layer stack —
+    the gelu stash of ``mlp`` costs (B, T, 4D) per layer, 3.4x more for the
+    1536-position encoder than the 448-position decoder, so mixed policies
+    buy recompute savings where the memory price is low.
 
     OLMOASR_REMAT_POLICY= attn (default: save the per-block attention
     outputs — tagged ``attn_out`` below — so the remat recompute skips
@@ -267,6 +273,10 @@ def _remat(fn, remat: bool):
     if not remat:
         return fn
     policy_name = os.environ.get("OLMOASR_REMAT_POLICY", "attn")
+    if stack:
+        policy_name = os.environ.get(
+            f"OLMOASR_REMAT_POLICY_{stack.upper()}", policy_name
+        )
     if policy_name == "dots":
         return jax.checkpoint(
             fn, policy=jax.checkpoint_policies.dots_saveable
@@ -465,7 +475,7 @@ def encode_audio(
         x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
         return x, None
 
-    f = _remat(block_fn, remat)
+    f = _remat(block_fn, remat, stack="enc")
     x, _ = jax.lax.scan(f, x, enc["blocks"], unroll=_scan_unroll())
     if use_kernel and x.shape[1] != T_valid:
         x = x[:, :T_valid]
@@ -638,7 +648,7 @@ def decode_train(
         x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
         return x, None
 
-    f = _remat(block_fn, remat)
+    f = _remat(block_fn, remat, stack="dec")
     x, _ = jax.lax.scan(f, x, dec["blocks"], unroll=_scan_unroll())
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
     if return_hidden:
@@ -959,20 +969,18 @@ def decode_step(
     # mlp_block, fitting small.en's weight budget. "sc" is the default:
     # measured 1451 vs 1441 RTFx at B=128 greedy (perf/r3_sweep4.log).
     # Beam/best_of (shared cross groups / ancestry rings) stays on the
-    # split kernels: the beam-mode layer block needs 18.1M scoped VMEM at
-    # batch 32 x beam 5 (OOM, perf/r3_beamlb_repro.log) — re-enable via
-    # OLMOASR_LAYER_BLOCK_BEAM=1 on parts with more VMEM.
+    # split kernels: the beam-mode layer block needed 18.1M scoped VMEM at
+    # batch 32 x beam 5 — over v5e's ~16M budget (perf/r3_beamlb_repro.log)
+    # — and was deleted in r4 (VERDICT item: fit or delete).
     lb_mode = os.environ.get("OLMOASR_LAYER_BLOCK", "sc")
-    lb_beam_ok = (beam_anc is None and kv_group == 1) or (
-        os.environ.get("OLMOASR_LAYER_BLOCK_BEAM", "0") == "1"
-    )
     use_layer_block = (
         S == 1
         and on_tpu
         and lb_mode in ("1", "sc")
         and not self_quant
         and ck_t
-        and lb_beam_ok
+        and beam_anc is None
+        and kv_group == 1
     )
 
     # fused q/k/v projection weights: one MXU matmul instead of three small
@@ -1010,7 +1018,6 @@ def decode_step(
                 n_head=dims.n_text_head,
                 rows=int(os.environ.get("OLMOASR_LAYER_ROWS", "1")),
                 wv_mode=os.environ.get("OLMOASR_WV_MODE", "dot"),
-                kv_group=kv_group, beam_anc=beam_anc,
                 include_mlp=lb_mode == "1",
             )
             if lb_mode == "sc":

@@ -1157,8 +1157,6 @@ def _layer_block_impl(
     n_head: int,
     rows: int,
     wv_mode: str,
-    shared_cross: bool,
-    anc_ref=None,  # (1, rows, C) int32 beam ancestry (None outside beam mode)
 ):
     """Whole decoder layer for one decode step in ONE kernel: self-attention
     sub-block (LN + fused QKV + ring attention + o-proj + residual), cross
@@ -1168,10 +1166,12 @@ def _layer_block_impl(
     K/V blocks stream — the self/MLP compute hides under the cross K/V DMA,
     which is the decode step's bandwidth floor (docs/KERNELS.md).
 
-    ``shared_cross``: the program's rows form one beam/best_of group sharing
-    a SINGLE cross K/V block (the group's audio window) — the dominant cross
-    bytes stream once per group instead of once per row. ``anc_ref``: beam
-    ancestry (rings not physically reordered; VMEM K-way pick per row)."""
+    Beam/best_of (shared cross groups, ancestry rings) deliberately NOT
+    supported: the beam-mode variant's resident set (group rings + sc
+    weights + shared cross) measured 18.09M scoped VMEM at batch 32 x
+    beam 5 — over the ~16M budget on v5e (perf/r3_beamlb_repro.log) —
+    so beams run the split kernels (self_attend_decode's ancestry mode +
+    cross_block_decode's kv_group sharing), which fit and are benched."""
     D = x_ref.shape[-1]
     dd = _dot_dtype(x_ref.dtype)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, D), 0)
@@ -1187,10 +1187,7 @@ def _layer_block_impl(
     vn_ref[:, 0, :] = qkv[:, 2 * D :].astype(vn_ref.dtype)
     attn = jnp.zeros((rows, D), jnp.float32)
     for r in range(rows):
-        if anc_ref is None:
-            k_sl, v_sl = k_ref[0, r, :, :], v_ref[0, r, :, :]
-        else:
-            k_sl, v_sl = _anc_kv_select(anc_ref, k_ref, v_ref, r, rows)
+        k_sl, v_sl = k_ref[0, r, :, :], v_ref[0, r, :, :]
         a = _self_block_attend(
             s_ref, qkv[r], k_sl, v_sl, n_head=n_head, dd=dd
         )
@@ -1210,8 +1207,7 @@ def _layer_block_impl(
     for r in range(rows):
         a = _cross_kt_attend(
             q[r], ks_ref, vs_ref, kt_ref, cv_ref,
-            n_head=n_head, wv_mode=wv_mode,
-            r=0 if shared_cross else r, dd=dd,
+            n_head=n_head, wv_mode=wv_mode, r=r, dd=dd,
         )
         cattn = jnp.where(row_ids == r, a[None, :], cattn)
     x = x + jnp.dot(
@@ -1244,29 +1240,17 @@ def _unpack_layer_refs(refs, include_mlp):
 
 
 def _layer_block_kernel(
-    s_ref, *refs, n_head, rows, wv_mode, shared_cross, include_mlp
+    s_ref, *refs, n_head, rows, wv_mode, include_mlp
 ):
     _layer_block_impl(
         s_ref, *_unpack_layer_refs(refs, include_mlp),
-        n_head=n_head, rows=rows, wv_mode=wv_mode, shared_cross=shared_cross,
-    )
-
-
-def _layer_block_kernel_beam(
-    s_ref, anc_ref, *refs, n_head, K, wv_mode, include_mlp
-):
-    _layer_block_impl(
-        s_ref, *_unpack_layer_refs(refs, include_mlp),
-        n_head=n_head, rows=K, wv_mode=wv_mode,
-        shared_cross=True, anc_ref=anc_ref,
+        n_head=n_head, rows=rows, wv_mode=wv_mode,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "n_head", "rows", "wv_mode", "kv_group", "include_mlp", "interpret"
-    ),
+    static_argnames=("n_head", "rows", "wv_mode", "include_mlp", "interpret"),
 )
 def layer_block_decode(
     x: jax.Array,  # (B, 1, D) residual stream
@@ -1300,8 +1284,6 @@ def layer_block_decode(
     n_head: int,
     rows: int = 1,
     wv_mode: str = "dot",
-    kv_group: int = 1,
-    beam_anc: Optional[jax.Array] = None,  # (B, C) int32 within-group rows
     include_mlp: bool = True,
     interpret: bool = False,
 ):
@@ -1312,15 +1294,12 @@ def layer_block_decode(
     compute overlaps the dominant cross K/V stream. Returns
     (new_x, k_new, v_new); ring writes stay outside (one DUS per step).
 
-    ``kv_group`` > 1: beam/best_of groups — the cross arrays have B/kv_group
-    audio-major rows and each program covers one group of kv_group token rows
-    sharing its single cross block. ``beam_anc``: beam-search ancestry (rings
-    not physically reordered; see self_attend_decode). ``include_mlp=False``
-    = "sc" mode: fuse self+cross only (5 launches -> 2) — the full-layer
-    weight set (~16.5MB bf16 at D=768/F=3072) exceeds the ~16MB VMEM core
-    budget, self+cross (~7MB) fits; the caller runs mlp_block after.
-    Restrictions: S == 1, bf16 self rings, transposed cross keys, normal V
-    layout."""
+    ``include_mlp=False`` = "sc" mode: fuse self+cross only (5 launches ->
+    2) — the full-layer weight set (~16.5MB bf16 at D=768/F=3072) exceeds
+    the ~16MB VMEM core budget, self+cross (~7MB) fits; the caller runs
+    mlp_block after. Restrictions: S == 1, bf16 self rings, transposed
+    cross keys, normal V layout, no beam groups (see _layer_block_impl —
+    beams stay on the split kernels)."""
     B, S, D = x.shape
     assert S == 1
     L = self_k.shape[0]
@@ -1331,10 +1310,7 @@ def layer_block_decode(
         ck_scale = ck_scale[:, :, None, :]
     if cv_scale.ndim == 3:
         cv_scale = cv_scale[:, :, None, :]
-    if kv_group > 1:
-        assert B % kv_group == 0
-        rows = kv_group  # one program per beam/best_of group
-    elif rows <= 0 or B % rows != 0:
+    if rows <= 0 or B % rows != 0:
         rows = 1
     scalars = jnp.stack([layer_idx.astype(jnp.int32), offset.astype(jnp.int32)])
 
@@ -1342,20 +1318,7 @@ def layer_block_decode(
     lay3 = lambda b, s: (s[0], 0, 0)
     ring = lambda b, s: (s[0], b, 0, 0)
     lp = lambda shape: pl.BlockSpec(shape, lay3, memory_space=pltpu.VMEM)
-    # cross blocks: per-row when kv_group == 1, one shared block per group
-    # otherwise (the cross arrays are audio-major with B/kv_group rows, and
-    # the grid step IS the group index when rows == kv_group)
-    cr = 1 if kv_group > 1 else rows
-    anc_specs = []
-    if beam_anc is not None:
-        assert kv_group > 1 and beam_anc.shape == (B, C)
-        anc_specs = [
-            # (G, K, C) layout: the (1, K, C) block's trailing dims equal the
-            # array dims, satisfying Mosaic's (8, 128) block rule for the
-            # otherwise-indivisible K=beam width
-            pl.BlockSpec((1, kv_group, C), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+    cr = rows
     mlp_specs = [
         lp((1, 1, D)), lp((1, 1, D)), lp((1, D, F)), lp((1, 1, F)),
         lp((1, F, D)), lp((1, 1, D)),
@@ -1363,7 +1326,7 @@ def layer_block_decode(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // rows,),
-        in_specs=anc_specs + [
+        in_specs=[
             pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),  # x
             lp((1, 1, D)), lp((1, 1, D)), lp((1, D, 3 * D)), lp((1, 1, 3 * D)),
             lp((1, D, D)), lp((1, 1, D)),  # self
@@ -1383,19 +1346,11 @@ def layer_block_decode(
             pl.BlockSpec((rows, 1, D), row3, memory_space=pltpu.VMEM),
         ),
     )
-    if beam_anc is not None:
-        kernel = functools.partial(
-            _layer_block_kernel_beam, n_head=n_head, K=kv_group,
-            wv_mode=wv_mode, include_mlp=include_mlp,
-        )
-        anc_ops = [beam_anc.reshape(B // kv_group, kv_group, C)]
-    else:
-        kernel = functools.partial(
-            _layer_block_kernel, n_head=n_head, rows=rows, wv_mode=wv_mode,
-            shared_cross=kv_group > 1, include_mlp=include_mlp,
-        )
-        anc_ops = []
-    kv_bytes = T * D * (1 if ck.dtype == jnp.int8 else 2) // kv_group
+    kernel = functools.partial(
+        _layer_block_kernel, n_head=n_head, rows=rows, wv_mode=wv_mode,
+        include_mlp=include_mlp,
+    )
+    kv_bytes = T * D * (1 if ck.dtype == jnp.int8 else 2)
     new_x, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1415,7 +1370,7 @@ def layer_block_decode(
         ),
         interpret=interpret,
     )(
-        scalars, *anc_ops, x,
+        scalars, x,
         attn_ln_g[:, None, :], attn_ln_b[:, None, :], wqkv, bqkv[:, None, :],
         attn_o_w, attn_o_b[:, None, :],
         cross_ln_g[:, None, :], cross_ln_b[:, None, :], cross_q_w,

@@ -662,14 +662,30 @@ def transcribe_many(
         i for i, w in enumerate(wavs)
         if w.ndim == 1 and len(w) <= MAX_FILE_S * SAMPLE_RATE
     ]
-    mel_stack = None  # (n_batchable, 80, F) device array; one window-gather
-    stack_row = {}  # file index -> row in mel_stack
+    # Upload/decode overlap (r4): the PCM is split into GROUPS; every
+    # group's host->device transfer is dispatched up-front (transfers
+    # stream in the background while the device computes — measured full
+    # overlap through the axon tunnel, perf/probe_h2d.py), but each group's
+    # log-mel program is enqueued LAZILY, the first round that gathers a
+    # window from it. The round loop admits one group per round, so round 1
+    # only blocks on group 0's transfer instead of the whole upload (the
+    # 17-39s prefix that turned 1000+ decode-bound RTFx into 89-131 end-to-
+    # end in perf/r3_sweep4.log). Per-file outputs are unchanged: mels are
+    # still computed whole-file (the log-spec max is per-file).
+    group_pcm: List = []  # per-group device PCM (or host arrays)
+    group_mels: List = []  # per-group mel, computed lazily (None until used)
+    group_dtype = np.float32
+    stack_row = {}  # file index -> (group, row in group)
     mel_frames = {}  # file index -> valid frame count (content + N_FRAMES)
+    gather_w = 0  # fixed per-group gather width (one program for all rounds)
     if len(batchable) > 1:
         max_len = max(len(wavs[i]) for i in batchable)
         max_len = -(-max_len // N_SAMPLES) * N_SAMPLES  # round up to 30s
         per_group = max(int(GROUP_BUDGET // max_len), 1)
-        group_mels = []
+        if _os.environ.get("OLMOASR_UPLOAD_OVERLAP", "1") == "1":
+            # small groups pipeline better; floor of batch_size//4 keeps the
+            # early (ramp-up) rounds at worst quarter-filled
+            per_group = max(1, min(per_group, max(batch_size // 4, 1)))
         # PCM-16 transport: real audio is 16-bit PCM (load_audio returns
         # int16/32768), so when the scaled values round-trip exactly we
         # upload int16 — HALF the host->device bytes, which is the long-form
@@ -689,36 +705,40 @@ def transcribe_many(
 
         pcms = {i: to_pcm16(wavs[i]) for i in batchable}
         all_pcm = all(p is not None for p in pcms.values())
-        for g in range(0, len(batchable), per_group):
+        group_dtype = np.int16 if all_pcm else np.float32
+        gather_w = min(per_group, batch_size)
+        import jax as _jx
+
+        for gi, g in enumerate(range(0, len(batchable), per_group)):
             group = batchable[g : g + per_group]
-            dtype = np.int16 if all_pcm else np.float32
-            stacked = np.zeros((len(group), max_len), dtype)
+            # every group padded to per_group rows: one shape -> one mel
+            # program and one gather program for ALL groups
+            stacked = np.zeros((per_group, max_len), group_dtype)
             for j, i in enumerate(group):
                 src = pcms[i] if all_pcm else wavs[i]
                 stacked[j, : len(src)] = src
-            batch_mel = log_mel_spectrogram(
-                stacked, model.dims.n_mels, padding=N_SAMPLES
-            )  # stays on device; windows are gathered in one call per round
-            group_mels.append(batch_mel)
-            for j, i in enumerate(group):
-                # no per-file mel slice: each would be an eager device
-                # dispatch (64 tunnel round-trips at setup); states carry the
-                # frame count and windows come from the round gather
-                stack_row[i] = g + j
+                stack_row[i] = (gi, j)
                 mel_frames[i] = len(wavs[i]) // HOP_LENGTH + N_FRAMES
-        # all groups share max_len, so frame counts match — one concat
-        mel_stack = (
-            group_mels[0] if len(group_mels) == 1
-            else jnp.concatenate(group_mels, axis=0)
-        )
-        if _perf:
-            # force the lazy host->device PCM upload + mel build to finish so
-            # the prefix is cleanly separable from the decode rounds
-            # (block_until_ready can return early through the tunnel; a
-            # scalar fetch forces a real sync)
-            mel_stack.block_until_ready()
-            _ = float(jnp.sum(mel_stack[:, 0, :1]).ravel()[0])
-            PERF_TIMERS["mel_stack_s"] = _time.perf_counter() - _t_enter
+            # dispatch the transfer NOW (streams in the background); the mel
+            # program is enqueued lazily by _group_mel below
+            group_pcm.append(_jx.device_put(stacked))
+            group_mels.append(None)
+
+    def _group_mel(gi: int):
+        if group_mels[gi] is None:
+            group_mels[gi] = log_mel_spectrogram(
+                group_pcm[gi], model.dims.n_mels, padding=N_SAMPLES
+            )  # stays on device; windows are gathered per round
+        return group_mels[gi]
+
+    if group_pcm and _perf:
+        # the BLOCKING prefix is group 0 only (later groups upload behind
+        # the decode rounds); a scalar fetch forces a real sync —
+        # block_until_ready can return early through the tunnel
+        m0 = _group_mel(0)
+        m0.block_until_ready()
+        _ = float(jnp.sum(m0[:, 0, :1]).ravel()[0])
+        PERF_TIMERS["mel_stack_s"] = _time.perf_counter() - _t_enter
 
     states: List[_FileState] = []
     for fi, (audio, wav, mel) in enumerate(zip(audios, wavs, mels)):
@@ -755,15 +775,28 @@ def transcribe_many(
     # Stack-backed files advance bookkeeping only and their windows are
     # gathered in ONE device call (_gather_windows); others slice per file.
     active = list(range(len(states)))
+    n_groups = len(group_pcm)
+    # staggered admission: round r may decode groups < gate; gate grows one
+    # group per round, so decode of the admitted groups overlaps the still-
+    # streaming transfers of the rest (see the group comment above)
+    gate = 1 if n_groups > 1 else max(n_groups, 1)
     while active:
-        round_ids = active[:batch_size]
+        eligible = [
+            i for i in active
+            if i not in stack_row or stack_row[i][0] < gate
+        ]
+        if gate < n_groups:
+            gate += 1
+        if not eligible:
+            continue
+        round_ids = eligible[:batch_size]
         specs, windows, ids = [], [], []
         for i in round_ids:
             if i in stack_row:
                 spec = states[i].advance_window()
                 if spec is None:
                     continue
-                specs.append((stack_row[i], *spec))
+                specs.append((*stack_row[i], *spec))  # (group, row, seek, sz)
                 windows.append(None)  # filled from the gathered batch below
             else:
                 w = states[i].current_window()
@@ -772,13 +805,23 @@ def transcribe_many(
                 windows.append(w)
             ids.append(i)
         if specs:
-            n_specs = len(specs)
-            # fixed gather width -> one XLA program for every round
-            padded = specs + [specs[-1]] * (batch_size - n_specs)
-            rows, seeks, sizes = (
-                jnp.asarray(c, jnp.int32) for c in zip(*padded)
+            # one fixed-width gather per touched group (file order == group
+            # order, so per-group chunks concatenate back in spec order)
+            parts = []
+            for gi in sorted({s[0] for s in specs}):
+                gs = [s[1:] for s in specs if s[0] == gi]
+                padded = gs + [gs[-1]] * (gather_w - len(gs))
+                rows, seeks, sizes = (
+                    jnp.asarray(c, jnp.int32) for c in zip(*padded)
+                )
+                parts.append(
+                    _gather_windows(_group_mel(gi), rows, seeks, sizes)[
+                        : len(gs)
+                    ]
+                )
+            gathered = (
+                parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
             )
-            gathered = _gather_windows(mel_stack, rows, seeks, sizes)[:n_specs]
             g = 0
             for j, w in enumerate(windows):
                 if w is None:

@@ -803,117 +803,6 @@ def test_layer_block_fused_matches_composition():
             np.testing.assert_allclose(np.asarray(got_v), np.asarray(vn), atol=3e-5)
 
 
-def test_layer_block_group_shared_cross_matches_composition():
-    """kv_group mode: one program per best_of group; the group's K token rows
-    share a SINGLE audio-major cross block (cross arrays have B/K rows)."""
-    from olmoasr_tpu.models.whisper import (
-        _attend_cached, _linear, layer_norm,
-    )
-    from olmoasr_tpu.ops.attention import layer_block_decode
-
-    G, K, C, T, D, F, H, L = 2, 3, 96, 96, 64, 128, 4, 2
-    B = G * K
-    ks = jax.random.split(jax.random.PRNGKey(44), 24)
-    mk = lambda i, *sh: jax.random.normal(ks[i], sh) * 0.2
-    x = mk(0, B, 1, D)
-    g1, b1 = jnp.ones((L, D)) * 1.05, jnp.zeros((L, D)) + 0.02
-    wqkv, bqkv = mk(1, L, D, 3 * D), mk(2, L, 3 * D)
-    wo1, bo1 = mk(3, L, D, D), mk(4, L, D)
-    g2, b2 = jnp.ones((L, D)) * 0.95, mk(5, L, D) * 0.1
-    wq, bq = mk(6, L, D, D), mk(7, L, D)
-    wo2, bo2 = mk(8, L, D, D), mk(9, L, D)
-    g3, b3 = jnp.ones((L, D)), mk(10, L, D) * 0.1
-    w1, b1m = mk(11, L, D, F), mk(12, L, F)
-    w2, b2m = mk(13, L, F, D), mk(14, L, D)
-    kr, vr = mk(15, L, B, C, D), mk(16, L, B, C, D)
-    # audio-major cross arrays: G rows only
-    ckq, cks = _quantize_rows(jax.random.normal(ks[17], (L, G, T, D)))
-    cvq, cvs = _quantize_rows(jax.random.normal(ks[18], (L, G, T, D)))
-    li, off = 1, 40
-
-    h = layer_norm(x, g1[li], b1[li])
-    qkv = _linear(h, wqkv[li], bqkv[li])
-    q, kn, vn = qkv[..., :D], qkv[..., D : 2 * D], qkv[..., 2 * D :]
-    attn = _attend_cached(q, kr[li], vr[li], kn, vn, jnp.int32(off), H)
-    x1 = x + _linear(attn, wo1[li], bo1[li])
-    qc = _linear(layer_norm(x1, g2[li], b2[li]), wq[li], bq[li])
-    # group-fold reference (whisper.py kernel-off kv_group path)
-    qg = qc.reshape(G, K, D)
-    cattn = cross_attend(qg, ckq[li], cvq[li], H, cks[li], cvs[li])
-    x2 = x1 + _linear(cattn.reshape(B, 1, D), wo2[li], bo2[li])
-    hh = _linear(layer_norm(x2, g3[li], b3[li]), w1[li], b1m[li])
-    hh = jax.nn.gelu(hh, approximate=False)
-    want = x2 + _linear(hh, w2[li], b2m[li])
-
-    got_x, got_k, got_v = layer_block_decode(
-        x, g1, b1, wqkv, bqkv, wo1, bo1, g2, b2, wq, bq, wo2, bo2,
-        g3, b3, w1, b1m, w2, b2m, kr, vr,
-        ckq.transpose(0, 1, 3, 2), cvq, cks, cvs,
-        jnp.int32(off), jnp.int32(li), n_head=H, kv_group=K,
-        interpret=True,
-    )
-    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want), atol=3e-5)
-    np.testing.assert_allclose(np.asarray(got_k), np.asarray(kn), atol=3e-5)
-    np.testing.assert_allclose(np.asarray(got_v), np.asarray(vn), atol=3e-5)
-
-
-def test_layer_block_beam_ancestry_matches_composition():
-    """Beam mode: ancestry-gathered self rings (no physical reorder) + the
-    group-shared cross block, fused in one launch."""
-    from olmoasr_tpu.models.whisper import (
-        _attend_cached, _linear, layer_norm,
-    )
-    from olmoasr_tpu.ops.attention import layer_block_decode
-
-    G, K, C, T, D, F, H, L = 2, 3, 96, 96, 64, 128, 4, 2
-    B = G * K
-    ks = jax.random.split(jax.random.PRNGKey(55), 24)
-    mk = lambda i, *sh: jax.random.normal(ks[i], sh) * 0.2
-    x = mk(0, B, 1, D)
-    g1, b1 = jnp.ones((L, D)) * 1.05, jnp.zeros((L, D)) + 0.02
-    wqkv, bqkv = mk(1, L, D, 3 * D), mk(2, L, 3 * D)
-    wo1, bo1 = mk(3, L, D, D), mk(4, L, D)
-    g2, b2 = jnp.ones((L, D)) * 0.95, mk(5, L, D) * 0.1
-    wq, bq = mk(6, L, D, D), mk(7, L, D)
-    wo2, bo2 = mk(8, L, D, D), mk(9, L, D)
-    g3, b3 = jnp.ones((L, D)), mk(10, L, D) * 0.1
-    w1, b1m = mk(11, L, D, F), mk(12, L, F)
-    w2, b2m = mk(13, L, F, D), mk(14, L, D)
-    kr, vr = mk(15, L, B, C, D), mk(16, L, B, C, D)
-    ckq, cks = _quantize_rows(jax.random.normal(ks[17], (L, G, T, D)))
-    cvq, cvs = _quantize_rows(jax.random.normal(ks[18], (L, G, T, D)))
-    anc = jax.random.randint(ks[19], (B, C), 0, K)
-    li, off = 1, 40
-
-    # XLA reference: ancestry gather (whisper.py kernel-off beam path)
-    g_rows = (jnp.arange(B) // K * K)[:, None] + anc
-    sk = jnp.take_along_axis(kr[li], g_rows[:, :, None], axis=0)
-    sv = jnp.take_along_axis(vr[li], g_rows[:, :, None], axis=0)
-    h = layer_norm(x, g1[li], b1[li])
-    qkv = _linear(h, wqkv[li], bqkv[li])
-    q, kn, vn = qkv[..., :D], qkv[..., D : 2 * D], qkv[..., 2 * D :]
-    attn = _attend_cached(q, sk, sv, kn, vn, jnp.int32(off), H)
-    x1 = x + _linear(attn, wo1[li], bo1[li])
-    qc = _linear(layer_norm(x1, g2[li], b2[li]), wq[li], bq[li])
-    qg = qc.reshape(G, K, D)
-    cattn = cross_attend(qg, ckq[li], cvq[li], H, cks[li], cvs[li])
-    x2 = x1 + _linear(cattn.reshape(B, 1, D), wo2[li], bo2[li])
-    hh = _linear(layer_norm(x2, g3[li], b3[li]), w1[li], b1m[li])
-    hh = jax.nn.gelu(hh, approximate=False)
-    want = x2 + _linear(hh, w2[li], b2m[li])
-
-    got_x, got_k, got_v = layer_block_decode(
-        x, g1, b1, wqkv, bqkv, wo1, bo1, g2, b2, wq, bq, wo2, bo2,
-        g3, b3, w1, b1m, w2, b2m, kr, vr,
-        ckq.transpose(0, 1, 3, 2), cvq, cks, cvs,
-        jnp.int32(off), jnp.int32(li), n_head=H, kv_group=K, beam_anc=anc,
-        interpret=True,
-    )
-    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want), atol=3e-5)
-    np.testing.assert_allclose(np.asarray(got_k), np.asarray(kn), atol=3e-5)
-    np.testing.assert_allclose(np.asarray(got_v), np.asarray(vn), atol=3e-5)
-
-
 def test_defer_l_backward_matches_default(monkeypatch):
     """OLMOASR_ATTN_DEFER_L=1 (1/l folded into do + delta instead of
     normalizing the (BQ, Tk) prob block) produces the same grads as the
