@@ -171,9 +171,11 @@ def loss_fn(
     compute_dtype=jnp.bfloat16,
     remat: bool = True,
     flash: Optional[bool] = None,
+    return_pred: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Teacher-forced cross entropy with ignore_index=51864
-    (train_timestamps.py:1444-1450)."""
+    (train_timestamps.py:1444-1450). ``return_pred`` adds the (B, T) argmax
+    ids to aux (validation WER fetches these instead of the full logits)."""
     import os as _os
 
     if mel.ndim == 2:
@@ -216,7 +218,10 @@ def loss_fn(
     # in-loop teacher-forced accuracy (cheap train-WER proxy;
     # the reference logs argmax-decode WER at train_timestamps.py:1077-1196)
     acc = jnp.sum((pred == text_target) & valid) / n_valid
-    return loss, {"accuracy": acc, "n_tokens": n_valid}
+    aux = {"accuracy": acc, "n_tokens": n_valid}
+    if return_pred:
+        aux["pred"] = pred
+    return loss, aux
 
 
 def make_train_step(
@@ -233,7 +238,25 @@ def make_train_step(
     train_timestamps.py:1508-1549).
     """
 
+    import os as _os
+
+    # bf16 micro-batch grads: differentiate w.r.t. a bf16 cast of the params
+    # so the cotangents — including the (L, ...) stacked per-layer grad
+    # buffers the scan backward materializes — are bf16 instead of f32
+    # (~1.5GB freed at the bwd peak on medium.en; buys remat-policy /
+    # micro-batch headroom). The ACCUMULATOR across accum steps stays f32
+    # (grads cast up before the add), and clip + adam run in f32 as before.
+    # bf16 grad values (8-bit mantissa) are the standard FSDP
+    # reduce-scatter precision; parity pinned in tests/test_training.py.
+    grads_bf16 = _os.environ.get("OLMOASR_GRADS_BF16", "0") == "1"
+
     def grads_of(params, batch):
+        if grads_bf16:
+            params = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if p.dtype == jnp.float32 else p,
+                params,
+            )
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, dims, batch["mel"], batch["text_input"], batch["text_target"],
             batch.get("padding_mask"),
@@ -246,15 +269,26 @@ def make_train_step(
         def accum_fn(carry, micro):
             loss_sum, acc_sum, grads_sum = carry
             loss, aux, grads = grads_of(state.params, micro)
-            grads_sum = jax.tree.map(jnp.add, grads_sum, grads)
+            grads_sum = jax.tree.map(
+                lambda s, g: s + g.astype(s.dtype), grads_sum, grads
+            )
             return (loss_sum + loss, acc_sum + aux["accuracy"], grads_sum), None
 
         n_accum = batch["mel"].shape[0]
-        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-        (loss_sum, acc_sum, grads), _ = jax.lax.scan(
-            accum_fn, (jnp.float32(0), jnp.float32(0), zero_grads), batch
-        )
-        grads = jax.tree.map(lambda g: g / n_accum, grads)
+        if n_accum == 1:
+            # no accumulator: with OLMOASR_GRADS_BF16 the bwd peak carries
+            # only the bf16 grads (no parallel f32 zeros+add buffers)
+            loss_sum, aux1, grads = grads_of(
+                state.params, jax.tree.map(lambda x: x[0], batch)
+            )
+            acc_sum = aux1["accuracy"]
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        else:
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (loss_sum, acc_sum, grads), _ = jax.lax.scan(
+                accum_fn, (jnp.float32(0), jnp.float32(0), zero_grads), batch
+            )
+            grads = jax.tree.map(lambda g: g / n_accum, grads)
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

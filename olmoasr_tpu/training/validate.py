@@ -28,16 +28,18 @@ from olmoasr_tpu.training.train import loss_fn
 
 
 def argmax_wer(
-    logits: np.ndarray,  # (B, T, V)
+    logits: np.ndarray,  # (B, T, V) logits, or (B, T) precomputed argmax ids
     targets: np.ndarray,  # (B, T) with PADDING_TOKEN beyond the sequence
     tokenizer=None,
     normalizer=None,
 ) -> Tuple[float, List[Dict[str, str]]]:
     """Teacher-forced argmax WER (train_timestamps.py:1077-1196): decode the
-    argmax prediction and the target, normalize, corpus WER."""
+    argmax prediction and the target, normalize, corpus WER. Pass the (B, T)
+    argmax directly when it was computed on device — fetching the full
+    (B, T, V) f32 logits costs ~743MB/batch at micro_bs=8."""
     tokenizer = tokenizer or get_tokenizer(False)
     normalizer = normalizer or EnglishTextNormalizer()
-    preds = logits.argmax(-1)
+    preds = logits if logits.ndim == 2 else logits.argmax(-1)
     refs, hyps, rows = [], [], []
     for b in range(targets.shape[0]):
         valid = targets[b] != PADDING_TOKEN
@@ -73,19 +75,21 @@ def validate(
 
     @jax.jit
     def fwd(params, mel, ti, tt, pm):
+        # ONE forward: loss_fn already computes the argmax internally
+        # (aux["pred"] via the in-loop accuracy path); a second
+        # forward_train for logits doubled the validation step, and
+        # fetching the (B, T, V) f32 logits to host cost ~743MB/batch —
+        # only the (B, T) int32 argmax crosses the wire now.
         loss, aux = loss_fn(
             params, dims, mel, ti, tt, pm,
-            compute_dtype=compute_dtype, remat=False,
+            compute_dtype=compute_dtype, remat=False, return_pred=True,
         )
-        logits = model_mod.forward_train(
-            params, dims, mel, ti, pm, compute_dtype=compute_dtype
-        )
-        return loss, logits
+        return loss, aux["pred"]
 
     for i, batch in enumerate(batches):
         if max_batches is not None and i >= max_batches:
             break
-        loss, logits = fwd(
+        loss, preds = fwd(
             params,
             jnp.asarray(batch["mel"]),
             jnp.asarray(batch["text_input"]),
@@ -94,7 +98,7 @@ def validate(
         )
         losses.append(float(loss))
         wer_val, rows = argmax_wer(
-            np.asarray(logits), np.asarray(batch["text_target"]),
+            np.asarray(preds), np.asarray(batch["text_target"]),
             tokenizer, normalizer,
         )
         for r in rows:
