@@ -82,9 +82,11 @@ def bench_train():
     mesh = mesh_mod.make_mesh(len(jax.devices()), 1)
     remat = os.environ.get("OLMOASR_BENCH_REMAT", "1") == "1"
     mu16 = os.environ.get("OLMOASR_BENCH_MU16", "0") == "1"
+    nu16 = os.environ.get("OLMOASR_BENCH_NU16", "0") == "1"
     config = train_mod.TrainConfig(
         train_steps=1000, micro_batch_size=micro_bs, remat=remat,
         mu_dtype=jnp.bfloat16 if mu16 else None,
+        nu_dtype=jnp.bfloat16 if nu16 else None,
     )
     optimizer = train_mod.make_optimizer(config)
     state = train_mod.init_train_state(jax.random.PRNGKey(0), dims, config, optimizer)

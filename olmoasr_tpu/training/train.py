@@ -52,6 +52,13 @@ class TrainConfig:
     # bf16 first moment halves optimizer HBM (769M-param medium.en: 3.1GB
     # saved), standard practice; fp32 default = exact reference parity
     mu_dtype: Any = None
+    # bf16 SECOND moment (nu): frees another 1.5GB of resident HBM on
+    # medium.en and cuts the optimizer pass's HBM traffic. nu is a smooth
+    # EMA of g^2 and adam divides by sqrt(nu) — bf16's ~3 decimal digits
+    # perturb the update by <=0.4% relative, far under the grad noise; the
+    # moment UPDATE still computes in f32 (cast on store only). fp32
+    # default = exact reference parity.
+    nu_dtype: Any = None
     # flash (Pallas fwd+bwd) attention in training: avoids materializing the
     # encoder's (B, H, 1500, 1500) score tensors in fwd AND bwd. Measured on
     # v5e (medium.en B=8, perf/r2_train_flash3.log): encoder flash with
@@ -93,7 +100,63 @@ def lr_schedule(config: TrainConfig):
     return fn
 
 
+def _scale_by_adam_cast(b1, b2, eps, mu_dtype, nu_dtype):
+    """optax.scale_by_adam with independent storage dtypes for BOTH moments
+    (optax only exposes mu_dtype). Moment math runs in f32; the cast happens
+    on store. Bias correction and eps placement match optax/torch AdamW:
+    update = (mu/bc1) / (sqrt(nu/bc2) + eps)."""
+
+    def init(params):
+        mu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
+        )
+        nu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype or p.dtype), params
+        )
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        f32 = jnp.float32
+        mu = jax.tree.map(
+            lambda m, g: (
+                b1 * m.astype(f32) + (1 - b1) * g.astype(f32)
+            ).astype(m.dtype),
+            state.mu, updates,
+        )
+        nu = jax.tree.map(
+            lambda v, g: (
+                b2 * v.astype(f32) + (1 - b2) * jnp.square(g.astype(f32))
+            ).astype(v.dtype),
+            state.nu, updates,
+        )
+        c = count.astype(f32)
+        bc1 = 1 - b1 ** c
+        bc2 = 1 - b2 ** c
+        out = jax.tree.map(
+            lambda m, v: (m.astype(f32) / bc1)
+            / (jnp.sqrt(v.astype(f32) / bc2) + eps),
+            mu, nu,
+        )
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    if config.nu_dtype is not None:
+        return optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            _scale_by_adam_cast(
+                config.beta1, config.beta2, config.eps,
+                config.mu_dtype, config.nu_dtype,
+            ),
+            optax.add_decayed_weights(config.weight_decay),
+            optax.scale_by_learning_rate(lr_schedule(config)),
+        )
     return optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.adamw(

@@ -138,6 +138,53 @@ def test_grads_bf16_matches_f32(monkeypatch):
     assert max(jax.tree.leaves(diffs)) < 5e-5
 
 
+def test_nu_dtype_optimizer_matches_adamw():
+    """_scale_by_adam_cast at f32/f32 must reproduce optax.adamw exactly;
+    nu_dtype=bf16 must track it within bf16 rounding of sqrt(nu)."""
+    cfg32 = train_mod.TrainConfig(train_steps=100, peak_lr=1e-3)
+    # nu_dtype=f32 engages the custom transform with identical math
+    cfg_cast = train_mod.TrainConfig(
+        train_steps=100, peak_lr=1e-3, nu_dtype=jnp.float32
+    )
+    cfg16 = train_mod.TrainConfig(
+        train_steps=100, peak_lr=1e-3, nu_dtype=jnp.bfloat16
+    )
+    rng = np.random.default_rng(5)
+    params = {
+        "w": jnp.asarray(rng.standard_normal((16, 16)), jnp.float32),
+        "b": jnp.asarray(rng.standard_normal((16,)), jnp.float32),
+    }
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(
+            rng.standard_normal(p.shape) * 0.1, jnp.float32
+        ),
+        params,
+    )
+
+    def run(cfg, n=3):
+        opt = train_mod.make_optimizer(cfg)
+        st = opt.init(params)
+        p = params
+        for _ in range(n):
+            upd, st = opt.update(grads, st, p)
+            p = optax.apply_updates(p, upd)
+        return p
+
+    import optax
+
+    p_ref = run(cfg32)
+    p_cast = run(cfg_cast)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_cast)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
+        )
+    p_16 = run(cfg16)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_16)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-2
+        )
+
+
 def test_param_shardings_cover_big_leaves():
     mesh = mesh_mod.make_mesh(2, 4)
     params = __import__("olmoasr_tpu.models.whisper", fromlist=["x"]).init_params(
