@@ -76,6 +76,7 @@ def bench_train():
 
     variant = os.environ.get("OLMOASR_BENCH_VARIANT", "medium.en")
     micro_bs = int(os.environ.get("OLMOASR_BENCH_BATCH", "8"))
+    accum = int(os.environ.get("OLMOASR_BENCH_ACCUM", "1"))
     iters = int(os.environ.get("OLMOASR_BENCH_ITERS", "5"))
 
     dims = VARIANT_TO_DIMS[variant]
@@ -100,18 +101,24 @@ def bench_train():
     device_mel = os.environ.get("OLMOASR_DEVICE_MEL", "0") == "1"
     mel_feed = (
         jnp.asarray(
-            (rng.standard_normal((1, micro_bs, 16000 * 30)) * 3000), jnp.int16
+            (rng.standard_normal((accum, micro_bs, 16000 * 30)) * 3000),
+            jnp.int16,
         )
         if device_mel
         else jnp.asarray(
-            rng.standard_normal((1, micro_bs, dims.n_mels, 3000)), jnp.float32
+            rng.standard_normal((accum, micro_bs, dims.n_mels, 3000)),
+            jnp.float32,
         )
     )
     batch = {
         "mel": mel_feed,
-        "text_input": jnp.asarray(rng.integers(0, 51864, (1, micro_bs, T)), jnp.int32),
-        "text_target": jnp.asarray(rng.integers(0, 51864, (1, micro_bs, T)), jnp.int32),
-        "padding_mask": jnp.zeros((1, micro_bs, T), jnp.float32),
+        "text_input": jnp.asarray(
+            rng.integers(0, 51864, (accum, micro_bs, T)), jnp.int32
+        ),
+        "text_target": jnp.asarray(
+            rng.integers(0, 51864, (accum, micro_bs, T)), jnp.int32
+        ),
+        "padding_mask": jnp.zeros((accum, micro_bs, T), jnp.float32),
     }
 
     state, metrics = step(state, batch)  # compile
@@ -132,8 +139,8 @@ def bench_train():
 
     # tokens = text positions + audio positions per the usual convention;
     # report text tokens/s (the H100 comparison basis) and audio-min/s
-    tokens_per_step = micro_bs * T
-    flops_step = train_flops_per_sample(dims) * micro_bs
+    tokens_per_step = accum * micro_bs * T
+    flops_step = train_flops_per_sample(dims) * micro_bs * accum
     V5E_PEAK = 197e12  # bf16
     H100_PEAK = 900e12  # reference train_timestamps.py:61
     mfu_v5e = flops_step / dt / V5E_PEAK
@@ -142,10 +149,12 @@ def bench_train():
     breakeven_h100_mfu = flops_step / dt / H100_PEAK
     return _emit(
         {
-            "metric": f"training step throughput ({variant}, micro_bs={micro_bs}, remat={remat}, bf16)",
+            "metric": f"training step throughput ({variant}, micro_bs={micro_bs}"
+            + (f"x{accum}" if accum > 1 else "")
+            + f", remat={remat}, bf16)",
             "value": round(tokens_per_step / dt, 1),
             "unit": "text-tokens/s/chip",
-            "vs_baseline": round((micro_bs * 30.0 / 60.0) / dt, 4),
+            "vs_baseline": round((accum * micro_bs * 30.0 / 60.0) / dt, 4),
             "mfu_v5e": round(mfu_v5e, 4),
             "breakeven_h100_mfu": round(breakeven_h100_mfu, 4),
             "flops_per_step": flops_step,
@@ -383,10 +392,17 @@ SNAPSHOT_AXES = [
     ),
     (
         "train",
+        # the r4 winning configuration (docs/TRAIN_PERF.md ladder):
+        # micro_bs=8 + mlp remat policy (gelu stash, no MLP recompute) +
+        # bf16 grads + bf16 adam moments — each step pinned against the
+        # f32 path in tests (grads/params/optimizer parity tests)
         {
             "OLMOASR_BENCH_MODE": "train",
             "OLMOASR_BENCH_MU16": "1",
-            "OLMOASR_BENCH_BATCH": "16",
+            "OLMOASR_BENCH_NU16": "1",
+            "OLMOASR_BENCH_BATCH": "8",
+            "OLMOASR_GRADS_BF16": "1",
+            "OLMOASR_REMAT_POLICY": "mlp",
         },
     ),
 ]
