@@ -662,16 +662,23 @@ def transcribe_many(
         i for i, w in enumerate(wavs)
         if w.ndim == 1 and len(w) <= MAX_FILE_S * SAMPLE_RATE
     ]
-    # Upload/decode overlap (r4): the PCM is split into GROUPS; every
-    # group's host->device transfer is dispatched up-front (transfers
-    # stream in the background while the device computes — measured full
-    # overlap through the axon tunnel, perf/probe_h2d.py), but each group's
-    # log-mel program is enqueued LAZILY, the first round that gathers a
-    # window from it. The round loop admits one group per round, so round 1
-    # only blocks on group 0's transfer instead of the whole upload (the
-    # 17-39s prefix that turned 1000+ decode-bound RTFx into 89-131 end-to-
-    # end in perf/r3_sweep4.log). Per-file outputs are unchanged: mels are
-    # still computed whole-file (the log-spec max is per-file).
+    # Upload/decode overlap (r4): the PCM is split into GROUPS of
+    # ``batch_size`` files; every group's host->device transfer is
+    # dispatched up-front (transfers stream in the background while the
+    # device computes — measured full overlap through the axon tunnel,
+    # perf/probe_h2d.py), but each group's log-mel program is enqueued
+    # LAZILY, the first round that gathers a window from it. The round
+    # loop takes files in order, so rounds stay group-contiguous AND
+    # full-width: while group 0's windows decode, groups 1+ stream in the
+    # background. With n_files <= batch_size there is a single group and
+    # behavior is identical to the ungrouped path; the win appears when
+    # n_files > batch_size (the serve/eval shape — the 17-39s upload
+    # prefix of r3, perf/r3_sweep4.log, hides behind the early rounds).
+    # NOTE a smaller per_group (batch_size//4) with one-group-per-round
+    # admission was measured NET NEGATIVE (174.6 vs 314.7 RTFx,
+    # perf/r4_longform1.log): underfilled rounds still pay the padded
+    # batch decode, costing more than the hidden upload saved. Per-file
+    # outputs are unchanged: mels stay whole-file (per-file log-spec max).
     group_pcm: List = []  # per-group device PCM (or host arrays)
     group_mels: List = []  # per-group mel, computed lazily (None until used)
     group_dtype = np.float32
@@ -683,9 +690,7 @@ def transcribe_many(
         max_len = -(-max_len // N_SAMPLES) * N_SAMPLES  # round up to 30s
         per_group = max(int(GROUP_BUDGET // max_len), 1)
         if _os.environ.get("OLMOASR_UPLOAD_OVERLAP", "1") == "1":
-            # small groups pipeline better; floor of batch_size//4 keeps the
-            # early (ramp-up) rounds at worst quarter-filled
-            per_group = max(1, min(per_group, max(batch_size // 4, 1)))
+            per_group = max(1, min(per_group, batch_size))
         # PCM-16 transport: real audio is 16-bit PCM (load_audio returns
         # int16/32768), so when the scaled values round-trip exactly we
         # upload int16 — HALF the host->device bytes, which is the long-form
@@ -775,21 +780,8 @@ def transcribe_many(
     # Stack-backed files advance bookkeeping only and their windows are
     # gathered in ONE device call (_gather_windows); others slice per file.
     active = list(range(len(states)))
-    n_groups = len(group_pcm)
-    # staggered admission: round r may decode groups < gate; gate grows one
-    # group per round, so decode of the admitted groups overlaps the still-
-    # streaming transfers of the rest (see the group comment above)
-    gate = 1 if n_groups > 1 else max(n_groups, 1)
     while active:
-        eligible = [
-            i for i in active
-            if i not in stack_row or stack_row[i][0] < gate
-        ]
-        if gate < n_groups:
-            gate += 1
-        if not eligible:
-            continue
-        round_ids = eligible[:batch_size]
+        round_ids = active[:batch_size]
         specs, windows, ids = [], [], []
         for i in round_ids:
             if i in stack_row:
