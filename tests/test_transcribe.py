@@ -98,6 +98,34 @@ def test_transcribe_many_matches_sequential(model):
             assert bs["start"] == ss["start"] and bs["end"] == ss["end"]
 
 
+def test_transcribe_many_multigroup_matches_sequential(model):
+    """n_files > batch_size: the PCM splits into batch_size-file upload
+    groups (r4 upload/decode overlap) — per-group lazy mels + group-
+    boundary rounds must not change any output."""
+    from olmoasr_tpu.transcribe import transcribe_many
+
+    rng = np.random.default_rng(4)
+    wavs = [
+        (rng.standard_normal(16000 * n) * 0.05).astype(np.float32)
+        for n in (4, 35, 2, 8, 61)
+    ]
+    kwargs = dict(
+        temperature=0.0, beam_size=None, best_of=None,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        no_speech_threshold=None,
+    )
+    seq = [model.transcribe(w, **kwargs) for w in wavs]
+    # batch_size=2 -> groups of 2 files; 5 files -> 3 groups, and the
+    # uneven lengths make later rounds mix files across group boundaries
+    bat = transcribe_many(model, wavs, batch_size=2, **kwargs)
+    assert len(bat) == len(seq)
+    for s, b in zip(seq, bat):
+        assert b["text"] == s["text"]
+        assert [x["tokens"] for x in b["segments"]] == [
+            x["tokens"] for x in s["segments"]
+        ]
+
+
 def test_transcribe_many_fallback_requeue(model, monkeypatch):
     """Only windows failing the gates re-queue at higher temperatures."""
     from olmoasr_tpu import transcribe as T
