@@ -124,14 +124,16 @@ def _row_sub_block(tq: int, tk: int) -> int:
     stays <= ~1.6MB VMEM (sb=256 at the 1536-key encoder shape — the measured
     best; decoder 512-key shapes run the whole row in one block)."""
     cap = int(os.environ.get("OLMOASR_ATTN_ROW_SB", "0"))
-    if cap:
-        return _dividing_block(cap, tq)
+    if cap and tq % cap == 0:
+        return cap
     budget = 1_638_400  # bytes of f32 scores
-    best = 128
-    for sb in range(128, tq + 1, 128):
+    # sub-blocks are any 16-multiple divisor of Tq (bf16 sublane rule) —
+    # Tq itself may be a non-128 multiple like the decoder's native 448
+    best = None
+    for sb in range(16, tq + 1, 16):
         if tq % sb == 0 and sb * tk * 4 <= budget:
             best = sb
-    return best
+    return best if best is not None else tq
 
 
 # ---------------------------------------------------------------------------
@@ -489,7 +491,16 @@ def _prep(q, k, v, n_head, key_bias, valid_len=None):
     B, Tq, D = q.shape
     Tk = k.shape[1]
     dh = D // n_head
-    Tq_pad, Tk_pad = _round128(Tq), _round128(Tk)
+    # whole-row kernels take the native query length when it satisfies the
+    # bf16 sublane rule (16-multiple): the decoder's Tq=448 runs unpadded
+    # (-12.5% self/cross attention rows + no q/do/dq pad copies). Keys keep
+    # the 128-multiple pad (scores' minor dim). The grid-blocked fallback
+    # requires 128-divisible q blocks, so it keeps the full pad.
+    if _whole_row() and Tq % 16 == 0 and Tq <= 2048:
+        Tq_pad = Tq  # matches _attn_fwd/_attn_bwd's whole-row condition
+    else:
+        Tq_pad = _round128(Tq)
+    Tk_pad = _round128(Tk)
     valid = Tk if valid_len is None else valid_len
     scale = dh ** -0.5  # 0.125 for dh=64: exact in bf16
 
