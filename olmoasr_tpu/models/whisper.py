@@ -445,7 +445,15 @@ def encode_audio(
     # are garbage-but-isolated and sliced off before ln_post.
     T_valid = x.shape[1]
     if use_kernel:
-        T_pad = ((T_valid + 127) // 128) * 128
+        # OLMOASR_ENC_PAD16=1: pad to a 16-multiple (1500 -> 1504) instead —
+        # the whole-row kernels accept 16-multiple query rows (sublane
+        # rule), saving ~2.1% of every encoder dense op's flops. Measured a
+        # big NEGATIVE on chip (5868 vs 7220 tok/s, perf/r4_sweep9.log): the
+        # kernels re-pad k/v to the 128-multiple key length in every layer,
+        # re-creating the per-layer pad copies the pre-padded stack kills.
+        # Kept as an off-by-default probe knob; see docs/TRAIN_PERF.md.
+        mult = 16 if os.environ.get("OLMOASR_ENC_PAD16", "0") == "1" else 128
+        T_pad = ((T_valid + mult - 1) // mult) * mult
         if T_pad != T_valid:
             x = jnp.pad(x, ((0, 0), (0, T_pad - T_valid), (0, 0)))
 

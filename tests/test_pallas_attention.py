@@ -685,6 +685,17 @@ class TestDecoderTrainAttentionKernels:
         # padded-region grads never leak into valid rows via keys
         assert np.all(np.isfinite(np.asarray(g_pad, np.float32)))
 
+        # 16-multiple pre-pad (OLMOASR_ENC_PAD16: 1500 -> 1504 analog):
+        # whole-row kernels take non-128-multiple query rows directly
+        pad16 = lambda x: jnp.pad(x, ((0, 0), (0, 304 - T), (0, 0)))
+        out16 = enc_self_attention(
+            pad16(q), pad16(k), pad16(v), H, interpret=True, valid_len=T
+        )
+        np.testing.assert_allclose(
+            np.asarray(out16[:, :T], np.float32), np.asarray(ref, np.float32),
+            atol=1e-3,
+        )
+
         # cross: pre-padded keys, unpadded queries
         kc, vc = self._mk(B, 200, 200, D)[1:]
         refc = cross_attention(q, kc, vc, H, interpret=True)
