@@ -230,7 +230,7 @@ def _block_apply(
 
     h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
     h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
-    h = _tag_mlp(jax.nn.gelu(h, approximate=False))
+    h = _mlp_act(h)
     x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
     return x
 
@@ -374,6 +374,23 @@ def _tag_proj(x: jax.Array) -> jax.Array:
     return checkpoint_name(x, "proj_out")
 
 
+def _mlp_act(h: jax.Array) -> jax.Array:
+    """gelu with the remat stash tag (``mlp_h``) placed pre- or post-gelu.
+
+    "pre" (default) saves the PRE-activation instead of the post-gelu
+    value — same (B, T, 4*D) stash. The bwd recompute then derives both
+    gelu' and the post-gelu value elementwise (VPU) from the stash,
+    skipping the 8Td^2 W1-matmul recompute the post-gelu tag still pays
+    (post-gelu alone cannot reconstruct gelu', so XLA re-runs x@W1 to get
+    the pre-activation). Measured +0.45% on chip, both repeats winning
+    outside the ±0.1% band (7246/7253 vs 7210/7223 tok/s,
+    perf/r4_sweep10.log); see docs/TRAIN_PERF.md.
+    """
+    if os.environ.get("OLMOASR_MLP_TAG", "pre") == "pre":
+        return jax.nn.gelu(_tag_mlp(h), approximate=False)
+    return _tag_mlp(jax.nn.gelu(h, approximate=False))
+
+
 def _tag_mlp(x: jax.Array) -> jax.Array:
     """Name the gelu activation for the ``mlp`` remat policy."""
     from jax.ad_checkpoint import checkpoint_name
@@ -479,7 +496,7 @@ def encode_audio(
         x = x + _linear(_tag_attn(attn_fn(q, k, v)), lp["attn_o_w"], lp["attn_o_b"])
         h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
         h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
-        h = _tag_mlp(jax.nn.gelu(h, approximate=False))
+        h = _mlp_act(h)
         x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
         return x, None
 
@@ -622,7 +639,7 @@ def decode_train(
             )
             h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
             h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
-            h = _tag_mlp(jax.nn.gelu(h, approximate=False))
+            h = _mlp_act(h)
             x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
             return x
 
@@ -652,7 +669,7 @@ def decode_train(
         )
         h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
         h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
-        h = _tag_mlp(jax.nn.gelu(h, approximate=False))
+        h = _mlp_act(h)
         x = x + _linear(h, lp["mlp_w2"], lp["mlp_b2"])
         return x, None
 

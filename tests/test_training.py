@@ -138,6 +138,37 @@ def test_grads_bf16_matches_f32(monkeypatch):
     assert max(jax.tree.leaves(diffs)) < 5e-5
 
 
+def test_mlp_tag_position_grads_identical(monkeypatch):
+    """OLMOASR_MLP_TAG=pre saves the PRE-gelu activation for the ``mlp``
+    remat policy (skips the W1-matmul recompute) — the stash position is a
+    pure scheduling choice, so loss and grads must match the post-gelu
+    default to f32 fusion-reassociation noise (~1e-8 abs)."""
+    from olmoasr_tpu.models import whisper as m
+
+    params = m.init_params(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.standard_normal((2, 8, 24)), jnp.float32)
+    toks = jnp.asarray(rng.integers(0, 128, (2, 8)), jnp.int32)
+
+    def loss_fn(p):
+        logits = m.forward_train(
+            p, TINY, mel, toks, compute_dtype=jnp.float32, remat=True
+        )
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    monkeypatch.setenv("OLMOASR_REMAT_POLICY", "mlp")
+    out = {}
+    for tag in ("post", "pre"):
+        monkeypatch.setenv("OLMOASR_MLP_TAG", tag)
+        jax.clear_caches()
+        out[tag] = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(
+        float(out["post"][0]), float(out["pre"][0]), rtol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(out["post"][1]), jax.tree.leaves(out["pre"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_nu_dtype_optimizer_matches_adamw():
     """_scale_by_adam_cast at f32/f32 must reproduce optax.adamw exactly;
     nu_dtype=bf16 must track it within bf16 rounding of sqrt(nu)."""
