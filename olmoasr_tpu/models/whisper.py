@@ -214,19 +214,19 @@ def _block_apply(
         v = _tag_proj(_linear(h, lp["attn_v_w"], lp["attn_v_b"]))
     else:
         k, v = self_kv
-    x = x + _linear(
+    x = _tag_resid(x + _linear(
         _tag_attn(sdpa(q, k, v, n_head, mask, key_bias)),
         lp["attn_o_w"], lp["attn_o_b"],
-    )
+    ))
 
     if xa_kv is not None:
         h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
         q = _tag_proj(_linear(h, lp["cross_q_w"], lp["cross_q_b"]))
         ck, cv = xa_kv
-        x = x + _linear(
+        x = _tag_resid(x + _linear(
             _tag_attn(sdpa(q, ck, cv, n_head, None)),
             lp["cross_o_w"], lp["cross_o_b"],
-        )
+        ))
 
     h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
     h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
@@ -295,7 +295,7 @@ def _remat(fn, remat: bool, stack: str = ""):
         return jax.checkpoint(
             fn,
             policy=jax.checkpoint_policies.save_only_these_names(
-                "attn_out", "proj_out"
+                "attn_out", "proj_out", "ckv"
             ),
         )
     if policy_name == "mlp":
@@ -303,17 +303,23 @@ def _remat(fn, remat: bool, stack: str = ""):
         # the MLP (16Td^2 of the ~38Td^2+4T^2d recomputed under ``attn``),
         # the single largest recompute term, at (B, T, 4*D) bf16 per layer of
         # extra stash (medium.en micro_bs=8: 98MB x 24 enc layers = 2.4GB).
+        # OLMOASR_SAVE_CKV / OLMOASR_SAVE_RESID extend the save list with the
+        # decoder cross k/v projections / post-attention residual sums (see
+        # _tag_ckv/_tag_resid); A/B'd on chip, docs/TRAIN_PERF.md.
+        names = ["attn_out", "mlp_h"]
+        if os.environ.get("OLMOASR_SAVE_CKV", "0") == "1":
+            names.append("ckv")
+        if os.environ.get("OLMOASR_SAVE_RESID", "0") == "1":
+            names.append("resid2")
         return jax.checkpoint(
             fn,
-            policy=jax.checkpoint_policies.save_only_these_names(
-                "attn_out", "mlp_h"
-            ),
+            policy=jax.checkpoint_policies.save_only_these_names(*names),
         )
     if policy_name == "mlp_wide":
         return jax.checkpoint(
             fn,
             policy=jax.checkpoint_policies.save_only_these_names(
-                "attn_out", "proj_out", "mlp_h"
+                "attn_out", "proj_out", "ckv", "mlp_h"
             ),
         )
     return jax.checkpoint(fn)
@@ -389,6 +395,29 @@ def _mlp_act(h: jax.Array) -> jax.Array:
     if os.environ.get("OLMOASR_MLP_TAG", "pre") == "pre":
         return jax.nn.gelu(_tag_mlp(h), approximate=False)
     return _tag_mlp(jax.nn.gelu(h, approximate=False))
+
+
+def _tag_ckv(x: jax.Array) -> jax.Array:
+    """Tag the decoder's per-layer cross k/v projections (``ckv``).
+
+    These are projections of the SAME (B, Ta, D) audio features in every
+    layer — ~28% of a decoder layer's forward flops — and the ``mlp``
+    remat policy re-runs both in the bwd recompute. OLMOASR_SAVE_CKV=1
+    adds them to the save list ((B, Ta, D) bf16 x2 per layer of stash)."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, "ckv")
+
+
+def _tag_resid(x: jax.Array) -> jax.Array:
+    """Tag the post-attention residual sums (``resid2``).
+
+    Saving them lets the bwd recompute skip the o-projection matmul that
+    rebuilds the input of the next LN. OLMOASR_SAVE_RESID=1 adds them to
+    the save list ((B, T, D) per attention sub-block of stash)."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, "resid2")
 
 
 def _tag_mlp(x: jax.Array) -> jax.Array:
@@ -493,7 +522,9 @@ def encode_audio(
         q = _tag_proj(_linear(h, lp["attn_q_w"], lp["attn_q_b"]))
         k = _tag_proj(_linear(h, lp["attn_k_w"]))
         v = _tag_proj(_linear(h, lp["attn_v_w"], lp["attn_v_b"]))
-        x = x + _linear(_tag_attn(attn_fn(q, k, v)), lp["attn_o_w"], lp["attn_o_b"])
+        x = _tag_resid(
+            x + _linear(_tag_attn(attn_fn(q, k, v)), lp["attn_o_w"], lp["attn_o_b"])
+        )
         h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
         h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
         h = _mlp_act(h)
@@ -617,7 +648,7 @@ def decode_train(
             q = _tag_proj(_linear(h, lp["attn_q_w"], lp["attn_q_b"]))
             sk = _tag_proj(_linear(h, lp["attn_k_w"]))
             sv = _tag_proj(_linear(h, lp["attn_v_w"], lp["attn_v_b"]))
-            x = x + _linear(
+            x = _tag_resid(x + _linear(
                 _tag_attn(
                     k_self(
                         q, sk, sv, n_head, key_bias=kb,
@@ -625,10 +656,10 @@ def decode_train(
                     )
                 ),
                 lp["attn_o_w"], lp["attn_o_b"],
-            )
+            ))
             h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
             q = _tag_proj(_linear(h, lp["cross_q_w"], lp["cross_q_b"]))
-            x = x + _linear(
+            x = _tag_resid(x + _linear(
                 _tag_attn(
                     k_cross(
                         q, ck, cv, n_head, interpret=kernel_interpret,
@@ -636,7 +667,7 @@ def decode_train(
                     )
                 ),
                 lp["cross_o_w"], lp["cross_o_b"],
-            )
+            ))
             h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
             h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
             h = _mlp_act(h)
@@ -647,8 +678,8 @@ def decode_train(
     # them inside the scan keeps memory low and lets XLA overlap with attention.
     def block_fn(x, lp):
         lp = _dw_barrier(lp)
-        ck = _tag_proj(_linear(audio_features, lp["cross_k_w"]))
-        cv = _tag_proj(_linear(audio_features, lp["cross_v_w"], lp["cross_v_b"]))
+        ck = _tag_ckv(_linear(audio_features, lp["cross_k_w"]))
+        cv = _tag_ckv(_linear(audio_features, lp["cross_v_w"], lp["cross_v_b"]))
         if use_kernel:
             return kernel_block(x, lp, ck, cv), None
         if not use_flash:
@@ -659,14 +690,14 @@ def decode_train(
         q = _tag_proj(_linear(h, lp["attn_q_w"], lp["attn_q_b"]))
         k = _tag_proj(_linear(h, lp["attn_k_w"]))
         v = _tag_proj(_linear(h, lp["attn_v_w"], lp["attn_v_b"]))
-        x = x + _linear(
+        x = _tag_resid(x + _linear(
             _tag_attn(self_attn(q, k, v)), lp["attn_o_w"], lp["attn_o_b"]
-        )
+        ))
         h = layer_norm(x, lp["cross_ln_g"], lp["cross_ln_b"])
         q = _tag_proj(_linear(h, lp["cross_q_w"], lp["cross_q_b"]))
-        x = x + _linear(
+        x = _tag_resid(x + _linear(
             _tag_attn(cross_attn(q, ck, cv)), lp["cross_o_w"], lp["cross_o_b"]
-        )
+        ))
         h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
         h = _linear(h, lp["mlp_w1"], lp["mlp_b1"])
         h = _mlp_act(h)
