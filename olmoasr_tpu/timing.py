@@ -10,6 +10,13 @@ weights) runs on device via ``models.whisper.cross_attention_weights``.
 OLMoASR checkpoints ship no alignment-heads metadata
 (``/root/reference/olmoasr/__init__.py:145,163`` stubs ``alignment_heads=None``),
 so like whisper's default we use all heads of the upper half of decoder layers.
+
+Attribution: ``merge_punctuations`` is a near-verbatim port and
+``find_alignment``'s token/word bookkeeping is closely adapted from
+openai-whisper (``whisper/timing.py``), Copyright (c) 2022 OpenAI, MIT
+License — see the repository-root ``NOTICES`` file. The punctuation-merge
+rules and word-boundary semantics define where published word timestamps
+land; diverging from them would be a parity bug.
 """
 
 from __future__ import annotations

@@ -17,6 +17,14 @@ native rebuild:
   * ``Tokenizer``: the task wrapper mirroring whisper's ``Tokenizer`` dataclass —
     sot sequences, timestamp tokens, suppress lists, word splitting.
 
+Attribution: the ``non_speech_tokens`` symbol corpus (the exact list of
+suppressed symbols plus the keep-first-token-of ♪♪♪/([{ logic) and the
+``split_tokens_on_unicode`` / ``split_tokens_on_spaces`` word-splitting
+algorithms are ported from openai-whisper (``whisper/tokenizer.py``),
+Copyright (c) 2022 OpenAI, MIT License — see the repository-root ``NOTICES``
+file. These define which tokens greedy decoding may emit and where word
+timestamps break, i.e. they are part of the parity spec.
+
 Special-token layout for English-only (.en) models, base vocab 50257:
   eot            = 50256  (<|endoftext|>, part of the base GPT-2 vocab)
   sot            = 50257  (<|startoftranscript|>)

@@ -3,6 +3,12 @@
 Covers the helpers the reference imports from ``[pip:whisper] utils``
 (``/root/reference/olmoasr/transcribe.py:24-33``) plus the timestamp math of
 ``/root/reference/olmoasr/utils.py:31-97``.
+
+Attribution: ``format_timestamp`` and ``compression_ratio`` are one-liner
+ports from openai-whisper (``whisper/utils.py``), Copyright (c) 2022 OpenAI,
+MIT License — see the repository-root ``NOTICES`` file (timestamp strings
+must render byte-identically for writer parity; the compression-ratio
+definition gates the reference's fallback logic).
 """
 
 from __future__ import annotations

@@ -2,6 +2,16 @@
 
 Rebuild of ``[pip:whisper] utils.get_writer`` used by the reference CLI
 (``/root/reference/olmoasr/transcribe.py:24-33,543``).
+
+Attribution: the writer class hierarchy (``ResultWriter`` /
+``SubtitlesWriter`` and subclasses), the ``iterate_result`` /
+``iterate_subtitles`` option plumbing (max_line_width / max_line_count /
+max_words_per_line / highlight_words), and the exact vtt/srt/tsv format
+strings in this file are ported from openai-whisper (``whisper/utils.py``),
+Copyright (c) 2022 OpenAI, MIT License — see the repository-root ``NOTICES``
+file. Byte-identical output formats are required for parity with the
+reference CLI, so the formats (and the logic that selects line breaks) are
+the behavioral spec, not an implementation choice.
 """
 
 from __future__ import annotations
