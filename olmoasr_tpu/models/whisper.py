@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -491,15 +492,12 @@ def encode_audio(
     # are garbage-but-isolated and sliced off before ln_post.
     T_valid = x.shape[1]
     if use_kernel:
-        # OLMOASR_ENC_PAD16=1: pad to a 16-multiple (1500 -> 1504) instead —
-        # the whole-row kernels accept 16-multiple query rows (sublane
-        # rule), saving ~2.1% of every encoder dense op's flops. Measured a
-        # big NEGATIVE on chip (5868 vs 7220 tok/s, perf/r4_sweep9.log): the
-        # kernels re-pad k/v to the 128-multiple key length in every layer,
-        # re-creating the per-layer pad copies the pre-padded stack kills.
-        # Kept as an off-by-default probe knob; see docs/TRAIN_PERF.md.
-        mult = 16 if os.environ.get("OLMOASR_ENC_PAD16", "0") == "1" else 128
-        T_pad = ((T_valid + mult - 1) // mult) * mult
+        # (a 16-multiple pad — 1500 -> 1504, saving ~2.1% encoder flops —
+        # was measured a big NEGATIVE, 5868 vs 7220 tok/s, perf/r4_sweep9.log:
+        # the kernels then re-pad k/v to the 128-multiple key length every
+        # layer, re-creating the per-layer pad copies the pre-padded stack
+        # kills. 128-multiple pre-pad is settled; see docs/TRAIN_PERF.md.)
+        T_pad = ((T_valid + 127) // 128) * 128
         if T_pad != T_valid:
             x = jnp.pad(x, ((0, 0), (0, T_pad - T_valid), (0, 0)))
 
@@ -771,11 +769,6 @@ class KVCache(NamedTuple):
     # block layout — a per-step (L,B,T)->(L,B,1,T) reshape cost 0.8ms at B=128)
     self_k_scale: Optional[jax.Array] = None  # (L, B, 1, C) f32 when int8
     self_v_scale: Optional[jax.Array] = None
-    # head-interleaved copy of cross_v (column p = head p%H, inner p//H) for
-    # the fused cross kernel: turns the per-head weight expansion into a
-    # native lane tile instead of a 128-lane-padded MXU dot. Read-only twin
-    # of cross_v; the normal-layout copy still serves prefill/XLA paths.
-    cross_v_il: Optional[jax.Array] = None
 
 
 def _quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -840,21 +833,9 @@ def init_cache(
             and cross_k.shape[2] != cross_k.shape[3]
         ):
             cross_k = cross_k.transpose(0, 1, 3, 2)
-    cross_v_il = None
-    # NEGATIVE RESULT (kept opt-in): the head-interleaved V twin replaces the
-    # kernel's expand dot with pltpu.repeat, but Mosaic lowers the lane tile
-    # as a slow relayout — measured 695 vs 947 RTFx at B=64. Default OFF.
-    if (
-        jax.default_backend() == "tpu"
-        and os.environ.get("OLMOASR_CROSS_VIL", "0") == "1"
-        and os.environ.get("OLMOASR_PALLAS_CROSS_BLOCK", "1") == "1"
-    ):
-        # head-interleaved twin for the fused cross kernel (see KVCache);
-        # per-key scales are per-row, so they are layout-invariant
-        H = dims.n_text_head
-        dh = D // H
-        perm = (jnp.arange(D) % H) * dh + jnp.arange(D) // H
-        cross_v_il = cross_v[..., perm]
+    # (a head-interleaved V twin that replaced the kernel's expand dot with
+    # pltpu.repeat was a settled NEGATIVE — Mosaic lowers the lane tile as a
+    # slow relayout, 695 vs 947 RTFx at B=64 — and was removed in r5)
     self_dtype = jnp.int8 if quantize_self else dtype
     sk_scale = sv_scale = None
     if quantize_self:
@@ -870,7 +851,6 @@ def init_cache(
         cross_v_scale=cv_scale,
         self_k_scale=sk_scale,
         self_v_scale=sv_scale,
-        cross_v_il=cross_v_il,
     )
 
 
@@ -1028,6 +1008,14 @@ def decode_step(
     # split kernels: the beam-mode layer block needed 18.1M scoped VMEM at
     # batch 32 x beam 5 — over v5e's ~16M budget (perf/r3_beamlb_repro.log)
     # — and was deleted in r4 (VERDICT item: fit or delete).
+    if os.environ.get("OLMOASR_LAYER_BLOCK_BEAM") is not None:
+        warnings.warn(
+            "OLMOASR_LAYER_BLOCK_BEAM has no effect: the beam-mode layer "
+            "block was removed in r4 (18.1M scoped VMEM at batch 32 x beam 5 "
+            "exceeded v5e's ~16M budget, perf/r3_beamlb_repro.log); beam "
+            "decode always uses the split kernels.",
+            stacklevel=2,
+        )
     lb_mode = os.environ.get("OLMOASR_LAYER_BLOCK", "sc")
     use_layer_block = (
         S == 1
@@ -1166,10 +1154,9 @@ def decode_step(
             x = cross_block_decode(
                 x, blocks["cross_ln_g"], blocks["cross_ln_b"],
                 blocks["cross_q_w"], blocks["cross_q_b"],
-                cross_o_w_eff, blocks["cross_o_b"],
-                cache.cross_k, cross_v_eff, cross_ks, cross_vs, li,
-                n_head=dims.n_text_head, v_interleaved=use_interleaved_v,
-                fast_softmax=os.environ.get("OLMOASR_FAST_SOFTMAX", "0") == "1",
+                blocks["cross_o_w"], blocks["cross_o_b"],
+                cache.cross_k, cache.cross_v, cross_ks, cross_vs, li,
+                n_head=dims.n_text_head,
                 wv_mode=os.environ.get("OLMOASR_WV_MODE", "dot"),
                 k_transposed=ck_t,
                 rows=int(os.environ.get("OLMOASR_CROSS_ROWS", "1")),
@@ -1222,24 +1209,7 @@ def decode_step(
         return x, (k_new, v_new)
 
     L = dims.n_text_layer
-    # head-interleaved V twin (see KVCache.cross_v_il): the kernel's weight
-    # expansion becomes a lane tile; the out-projection's rows are permuted
-    # to compensate (scan-invariant — XLA hoists the gather out of the scan)
-    use_interleaved_v = use_pallas_cross_block and cache.cross_v_il is not None
-    # the layer block only runs when V isn't head-interleaved; key every
-    # use-site (incl. the xs stripping below) on the EFFECTIVE flag so e.g.
-    # OLMOASR_PALLAS_SELF=0 + OLMOASR_CROSS_VIL=1 falls back to a path that
-    # still has its self caches in the scan xs
-    lb_effective = use_layer_block and not use_interleaved_v
-    if use_interleaved_v:
-        H = dims.n_text_head
-        dh = D // H
-        perm = (jnp.arange(D) % H) * dh + jnp.arange(D) // H
-        cross_o_w_eff = dec["blocks"]["cross_o_w"][:, perm, :]
-        cross_v_eff = cache.cross_v_il
-    else:
-        cross_o_w_eff = dec["blocks"]["cross_o_w"]
-        cross_v_eff = cache.cross_v
+    lb_effective = use_layer_block
     cross_ks, cross_vs = cache.cross_k_scale, cache.cross_v_scale
     if (use_pallas_cross_block or lb_effective) and cross_ks is None:
         # the megakernel folds per-key scales unconditionally; bf16 caches
@@ -1284,7 +1254,6 @@ def decode_step(
     new_cache = KVCache(
         new_sk, new_sv, cache.cross_k, cache.cross_v, offset + S,
         cache.cross_k_scale, cache.cross_v_scale, new_sks, new_svs,
-        cache.cross_v_il,
     )
     return logits, new_cache
 

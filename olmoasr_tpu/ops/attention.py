@@ -910,8 +910,6 @@ def _cross_block_kernel(
     o_ref,  # (1, 1, D) new residual stream
     *,
     n_head: int,
-    v_interleaved: bool = False,
-    fast_softmax: bool = False,
     wv_mode: str = "expand",
 ):
     _, _, T, D = k_ref.shape
@@ -939,23 +937,8 @@ def _cross_block_kernel(
     logits = _qk_logits(k_ref[0, 0, :, :], qm, dd)  # (T, H); int8 MXU path
     logits = logits * ks_ref[0, 0, 0, :][:, None]  # per-key int8 scale
 
-    if fast_softmax and dd == jnp.bfloat16:
-        # exp in bf16: the softmax WEIGHTS are cast to bf16 for the value
-        # product anyway (GPU whisper uses fp16 weights, model.py:433), so
-        # computing the exponentials in bf16 only moves the rounding one op
-        # earlier; halves the VPU transcendental+elementwise traffic on the
-        # physically 128-lane-padded (T, H) block. Max + denominator stay f32.
-        m = jnp.max(logits, axis=0, keepdims=True)  # f32
-        e = jnp.exp((logits - m).astype(jnp.bfloat16))  # (T, H) bf16
-        ones_t = jnp.ones((1, T), jnp.bfloat16)
-        denom = jnp.dot(ones_t, e, preferred_element_type=jnp.float32)  # (1,H)
-        inv = (1.0 / denom).astype(jnp.bfloat16)
-        # minor-dim insert must happen in f32 (Mosaic relayout rule), cast after
-        vsb = vs_ref[0, 0, 0, :][:, None].astype(jnp.bfloat16)  # (T, 1)
-        w = e * inv * vsb  # stays bf16 end-to-end
-    else:
-        w = jax.nn.softmax(logits, axis=0)  # (T, H) fp32
-        w = w * vs_ref[0, 0, 0, :][:, None]  # fold per-key v scale
+    w = jax.nn.softmax(logits, axis=0)  # (T, H) fp32
+    w = w * vs_ref[0, 0, 0, :][:, None]  # fold per-key v scale
 
     if wv_mode in ("dot", "dot8"):
         # one transposed contraction out2[h, d] = sum_t w[t, h] * v[t, d]
@@ -981,13 +964,7 @@ def _cross_block_kernel(
         hsel = (h_ids.T == d_ids.T // dh).astype(jnp.float32)  # (H, D)
         attn = jnp.sum(out2 * hsel, axis=0, keepdims=True)  # (1, D)
     else:
-        if v_interleaved:
-            # v columns are head-interleaved (col p = head p%H): the per-head
-            # weight expansion is a pure lane tile (measured slower — Mosaic
-            # lowers the repeat as a relayout; kept for reference)
-            w_full = pltpu.repeat(w.astype(dd), dh, axis=1)  # (T, D)
-        else:
-            w_full = _expand_heads(w, n_head, dh, dd)  # (T, D)
+        w_full = _expand_heads(w, n_head, dh, dd)  # (T, D)
         prod = w_full * v_ref[0, 0, :, :].astype(dd)
         ones = jnp.ones((1, T), dd)
         attn = jnp.dot(ones, prod, preferred_element_type=jnp.float32)  # (1, D)
@@ -1002,7 +979,7 @@ def _cross_block_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_head", "interpret", "v_interleaved", "fast_softmax", "wv_mode",
+        "n_head", "interpret", "wv_mode",
         "k_transposed", "rows", "kv_group",
     ),
 )
@@ -1022,8 +999,6 @@ def cross_block_decode(
     *,
     n_head: int,
     interpret: bool = False,
-    v_interleaved: bool = False,
-    fast_softmax: bool = False,
     wv_mode: str = "expand",
     k_transposed: bool = False,
     rows: int = 1,
@@ -1069,7 +1044,6 @@ def cross_block_decode(
     assert B % kv_group == 0
     kvmap = lambda b, s: (s[0], b // kv_group, 0, 0)
     if k_transposed:
-        assert not v_interleaved, "kt kernel uses the normal V layout"
         L, _, _, T = ck.shape
         k_block = pl.BlockSpec(
             (1, rows, D, T), kvmap,
@@ -1084,8 +1058,7 @@ def cross_block_decode(
             (1, 1, T, D), kvmap, memory_space=pltpu.VMEM
         )
         kernel = functools.partial(
-            _cross_block_kernel, n_head=n_head, v_interleaved=v_interleaved,
-            fast_softmax=fast_softmax, wv_mode=wv_mode,
+            _cross_block_kernel, n_head=n_head, wv_mode=wv_mode,
         )
     scalars = jnp.stack([layer_idx.astype(jnp.int32)])
 

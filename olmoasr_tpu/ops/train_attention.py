@@ -120,11 +120,17 @@ def _whole_row() -> bool:
 
 
 def _row_sub_block(tq: int, tk: int) -> int:
-    """Largest 128-multiple divisor of ``tq`` whose (sb, Tk) f32 score block
+    """Largest 16-multiple divisor of ``tq`` whose (sb, Tk) f32 score block
     stays <= ~1.6MB VMEM (sb=256 at the 1536-key encoder shape — the measured
     best; decoder 512-key shapes run the whole row in one block)."""
     cap = int(os.environ.get("OLMOASR_ATTN_ROW_SB", "0"))
     if cap and tq % cap == 0:
+        # the override must still satisfy the bf16 sublane rule (16-multiple)
+        # or Mosaic fails at lowering with an opaque error (advisor r4)
+        if cap % 16 != 0:
+            raise ValueError(
+                f"OLMOASR_ATTN_ROW_SB={cap} must be a multiple of 16"
+            )
         return cap
     budget = 1_638_400  # bytes of f32 scores
     # sub-blocks are any 16-multiple divisor of Tq (bf16 sublane rule) —

@@ -691,6 +691,12 @@ def transcribe_many(
         per_group = max(int(GROUP_BUDGET // max_len), 1)
         if _os.environ.get("OLMOASR_UPLOAD_OVERLAP", "1") == "1":
             per_group = max(1, min(per_group, batch_size))
+        # never pad a group wider than the actual file count: with few files
+        # the budget cap (e.g. 266 rows of 30s audio) would upload hundreds
+        # of zero rows and run the STFT over them (advisor r4). One shape is
+        # preserved — clamping by a call-wide constant keeps every group of
+        # this call at the same width.
+        per_group = min(per_group, len(batchable))
         # PCM-16 transport: real audio is 16-bit PCM (load_audio returns
         # int16/32768), so when the scaled values round-trip exactly we
         # upload int16 — HALF the host->device bytes, which is the long-form
@@ -734,6 +740,10 @@ def transcribe_many(
             group_mels[gi] = log_mel_spectrogram(
                 group_pcm[gi], model.dims.n_mels, padding=N_SAMPLES
             )  # stays on device; windows are gathered per round
+            # release the device PCM once its mel exists: int16 PCM bytes/s
+            # ~= f32 mel bytes/s, so keeping both doubles device-resident
+            # audio memory for the rest of the call (advisor r4)
+            group_pcm[gi] = None
         return group_mels[gi]
 
     if group_pcm and _perf:

@@ -157,75 +157,6 @@ def test_cross_kernel_int8_qk_path_accuracy():
     assert err < 0.08, err
 
 
-def test_cross_block_kernel_interleaved_v():
-    """Head-interleaved V + row-permuted Wo == the normal-layout path."""
-    from olmoasr_tpu.models.whisper import layer_norm, _linear
-    from olmoasr_tpu.ops.attention import cross_block_decode
-
-    B, T, D, H, L = 2, 96, 64, 4, 2
-    dh = D // H
-    ks = jax.random.split(jax.random.PRNGKey(7), 12)
-    x = jax.random.normal(ks[0], (B, 1, D), jnp.float32)
-    ln_g = jax.random.normal(ks[1], (L, D)) * 0.1 + 1.0
-    ln_b = jax.random.normal(ks[2], (L, D)) * 0.1
-    wq = jax.random.normal(ks[3], (L, D, D)) * 0.1
-    bq = jax.random.normal(ks[4], (L, D)) * 0.1
-    wo = jax.random.normal(ks[5], (L, D, D)) * 0.1
-    bo = jax.random.normal(ks[6], (L, D)) * 0.1
-    ck_f = jax.random.normal(ks[7], (L, B, T, D))
-    cv_f = jax.random.normal(ks[8], (L, B, T, D))
-    ckq, cks = _quantize_rows(ck_f)
-    cvq, cvs = _quantize_rows(cv_f)
-
-    perm = (jnp.arange(D) % H) * dh + jnp.arange(D) // H
-    cv_il = cvq[..., perm]
-    wo_il = wo[:, perm, :]
-
-    for li in (0, 1):
-        ref = cross_block_decode(
-            x, ln_g, ln_b, wq, bq, wo, bo, ckq, cvq, cks, cvs,
-            jnp.int32(li), n_head=H, interpret=True,
-        )
-        out = cross_block_decode(
-            x, ln_g, ln_b, wq, bq, wo_il, bo, ckq, cv_il, cks, cvs,
-            jnp.int32(li), n_head=H, interpret=True, v_interleaved=True,
-        )
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-5
-        )
-
-
-def test_cross_block_fast_softmax_accuracy():
-    """bf16-exp softmax stays within the fp16-weights regime of the GPU ref."""
-    from olmoasr_tpu.models.whisper import layer_norm, _linear, sdpa
-    from olmoasr_tpu.ops.attention import cross_block_decode
-
-    B, T, D, H, L = 2, 96, 64, 4, 2
-    ks = jax.random.split(jax.random.PRNGKey(3), 12)
-    x = jax.random.normal(ks[0], (B, 1, D)).astype(jnp.bfloat16)
-    ln_g = jnp.ones((L, D), jnp.bfloat16)
-    ln_b = jnp.zeros((L, D), jnp.bfloat16)
-    wq = (jax.random.normal(ks[3], (L, D, D)) * 0.1).astype(jnp.bfloat16)
-    bq = jnp.zeros((L, D), jnp.bfloat16)
-    wo = (jax.random.normal(ks[5], (L, D, D)) * 0.1).astype(jnp.bfloat16)
-    bo = jnp.zeros((L, D), jnp.bfloat16)
-    ck_f = jax.random.normal(ks[7], (L, B, T, D))
-    cv_f = jax.random.normal(ks[8], (L, B, T, D))
-    ckq, cks = _quantize_rows(ck_f)
-    cvq, cvs = _quantize_rows(cv_f)
-
-    ref = cross_block_decode(
-        x, ln_g, ln_b, wq, bq, wo, bo, ckq, cvq, cks, cvs,
-        jnp.int32(0), n_head=H, interpret=True,
-    )
-    out = cross_block_decode(
-        x, ln_g, ln_b, wq, bq, wo, bo, ckq, cvq, cks, cvs,
-        jnp.int32(0), n_head=H, interpret=True, fast_softmax=True,
-    )
-    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max()
-    assert err < 0.06, err
-
-
 @pytest.mark.parametrize("mode,tol", [("dot", 3e-5), ("dot8", 0.08)])
 def test_cross_block_wv_modes(mode, tol):
     """Transposed-contraction value paths == the expand path (dot exact-ish,
@@ -685,8 +616,8 @@ class TestDecoderTrainAttentionKernels:
         # padded-region grads never leak into valid rows via keys
         assert np.all(np.isfinite(np.asarray(g_pad, np.float32)))
 
-        # 16-multiple pre-pad (OLMOASR_ENC_PAD16: 1500 -> 1504 analog):
-        # whole-row kernels take non-128-multiple query rows directly
+        # 16-multiple pre-pad: whole-row kernels take non-128-multiple
+        # query rows directly (the unpadded-decoder-query-rows path)
         pad16 = lambda x: jnp.pad(x, ((0, 0), (0, 304 - T), (0, 0)))
         out16 = enc_self_attention(
             pad16(q), pad16(k), pad16(v), H, interpret=True, valid_len=T
