@@ -192,11 +192,7 @@ def _log_mel_jax(
         # Expressed instead as ONE strided f32 convolution (N_FFT-tap kernels
         # = windowed cos/sin DFT bases, stride=hop), the same STFT runs on
         # the MXU in milliseconds and matches np.fft.rfft to ~1e-5 relative.
-        cos_m, sin_m = _rdft_matrices_np(N_FFT)  # (400, 201) each
-        window = _hann_window_np(N_FFT)
-        kernel = np.concatenate(
-            [cos_m.T, sin_m.T], axis=0
-        ) * window[None, :]  # (402, 400)
+        kernel, _ = _stft_kernel_np(n_mels)  # (402, 400)
         out = jax.lax.conv_general_dilated(
             padded[:, None, :].astype(jnp.float32),  # (B, 1, L)
             jnp.asarray(kernel[:, None, :]),  # (O=402, I=1, W=400)
@@ -217,6 +213,56 @@ def _log_mel_jax(
         log_spec, jnp.max(log_spec, axis=(-2, -1), keepdims=True) - 8.0
     )
     return ((log_spec + 4.0) / 4.0).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=2)
+def _stft_kernel_np(n_mels: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Shared STFT conv kernel + mel filterbank (see ``_log_mel_jax``)."""
+    cos_m, sin_m = _rdft_matrices_np(N_FFT)
+    window = _hann_window_np(N_FFT)
+    kernel = np.concatenate([cos_m.T, sin_m.T], axis=0) * window[None, :]
+    return kernel, mel_filters_np(n_mels)
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels",))
+def log_mel_chunk_unnorm(
+    chunk: jax.Array, n_mels: int = 80
+) -> Tuple[jax.Array, jax.Array]:
+    """UNNORMALIZED log-mel of a self-contained streaming chunk.
+
+    ``chunk``: (B, L) samples (int16 PCM or f32) where frame t of the output
+    reads ``chunk[:, t*HOP : t*HOP + N_FFT]`` — the caller supplies the
+    reflect head / halo / zero tail explicitly, so consecutive chunks of the
+    padded stream produce bit-identical frames to one whole-row
+    ``log_mel_spectrogram`` call (same conv kernel, same per-frame dots).
+    Emits ``(L - (N_FFT - HOP)) // HOP`` frames (no torch drop-last here —
+    the caller sizes chunks so the dropped global frame is never requested).
+
+    Returns ``(log_spec (B, n_mels, F), rowmax (B,))`` where ``log_spec`` is
+    pre-clamp (``log10(max(mel, 1e-10))``) — the whole-file normalization
+    ``(max(x, filemax - 8) + 4) / 4`` is applied later at window-gather time
+    by ``transcribe._gather_windows_norm`` once the file maximum is known.
+    Used by ``transcribe.transcribe_many`` to overlap the PCM upload with
+    decode (the reference uploads nothing — its mel is host-side torch,
+    ``[pip:whisper] audio.log_mel_spectrogram``; on a remote-chip deployment
+    the upload is the long-form wall and must stream behind the decode).
+    """
+    if chunk.dtype == jnp.int16:
+        chunk = chunk.astype(jnp.float32) / 32768.0
+    kernel, filters = _stft_kernel_np(n_mels)
+    out = jax.lax.conv_general_dilated(
+        chunk[:, None, :].astype(jnp.float32),
+        jnp.asarray(kernel[:, None, :]),
+        window_strides=(HOP_LENGTH,),
+        padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )  # (B, 402, F)
+    nf = N_FFT // 2 + 1
+    re, im = out[:, :nf, :], out[:, nf:, :]
+    magnitudes = re * re + im * im
+    mel_spec = jnp.einsum("bft,mf->bmt", magnitudes, jnp.asarray(filters))
+    log_spec = jnp.log10(jnp.maximum(mel_spec, 1e-10))
+    return log_spec, jnp.max(log_spec, axis=(-2, -1))
 
 
 def log_mel_spectrogram(

@@ -13,6 +13,7 @@ The decode path underneath is the batched on-device loop in
 
 from __future__ import annotations
 
+import functools
 import sys
 import warnings
 from typing import TYPE_CHECKING, List, Optional, Tuple, Union
@@ -25,9 +26,11 @@ import jax.numpy as jnp
 from olmoasr_tpu.audio import (
     FRAMES_PER_SECOND,
     HOP_LENGTH,
+    N_FFT,
     N_FRAMES,
     N_SAMPLES,
     SAMPLE_RATE,
+    log_mel_chunk_unnorm,
     log_mel_spectrogram,
     pad_or_trim,
 )
@@ -481,20 +484,147 @@ def _needs_fallback(
     return needs
 
 
+# ---------------------------------------------------------------------------
+# Streamed long-form mel: upload 30s PCM slices, mel them incrementally, and
+# normalize at gather time — so the host->device transfer (the long-form wall
+# on a remote chip: 32x120s int16 = 123MB at ~20MB/s) hides behind the decode
+# rounds instead of blocking as a prefix. Matches the reference exactly: the
+# whole-file log-spec max only enters via the `max(x, filemax - 8)` clamp, so
+# a window gathered with a stale (still-uploading) running max is bit-equal
+# to the sequential path unless some valid frame actually falls below
+# final_max - 8 — which the gather records (win_min / used_max) and
+# ``transcribe_many`` re-checks at the end, re-running the rare affected file
+# through the plain per-file path. Ref hot loop: olmoasr/transcribe.py:281-517.
+
+_CHUNK_HALO = N_FFT - HOP_LENGTH  # 240: frame t reads [t*hop, t*hop + n_fft)
+
+
+@functools.partial(_jax.jit, donate_argnums=(0, 1))
+def _mel_write(buf, rowmax, chunk, fstart):
+    """Mel one self-contained PCM chunk and write its frames into the
+    per-group unnormalized log-spec buffer (donated: updates in place)."""
+    mel, mx = log_mel_chunk_unnorm(chunk, buf.shape[1])
+    buf = _jax.lax.dynamic_update_slice(buf, mel, (0, 0, fstart))
+    return buf, jnp.maximum(rowmax, mx)
+
+
 @_jax.jit
-def _gather_windows(stack, rows, seeks, seg_sizes):
-    """ONE device call producing (n, 80, N_FRAMES) windows from the stacked
-    per-file mels: window j = stack[rows[j], :, seeks[j]:seeks[j]+3000] with
-    frames >= seg_sizes[j] zeroed (the reference's pad_or_trim zero padding).
-    Replaces per-file device slices — each was a separate dispatch through
-    the remote tunnel (~2s/round at batch 64, perf/profile_longform.py)."""
+def _tail_chunk(halo):
+    """Device-built final chunk: the last 200 content samples + the 30s zero
+    pad + reflect tail (zeros) — two slices of frames for the cost of a 13KB
+    halo upload instead of 60MB of literal zeros."""
+    if halo.dtype == jnp.int16:
+        halo = halo.astype(jnp.float32) / 32768.0
+    return jnp.pad(halo, ((0, 0), (0, 2 * N_SAMPLES + _CHUNK_HALO - halo.shape[1])))
+
+
+class _StreamedMelGroup:
+    """One group of stacked long-form files streaming through the mel.
+
+    Host side: per-slice PCM chunks (with reflect head / inter-slice halo /
+    zero tail) are dispatched to the device immediately (`jax.device_put` is
+    async — transfers stream on the DMA engine while the device decodes);
+    ``ensure``/``poll`` enqueue the mel-write program per chunk, lazily, so
+    the in-order compute stream never blocks on a transfer that decode
+    doesn't need yet.
+    """
+
+    def __init__(self, pcm_rows, max_len, n_mels):
+        self.n_real = max_len // N_SAMPLES
+        self.total_frames = (self.n_real + 2) * N_FRAMES
+        n_rows = len(pcm_rows)
+        dtype = pcm_rows[0].dtype
+        self.chunks = []
+        for s in range(self.n_real):
+            chunk = np.zeros((n_rows, N_SAMPLES + _CHUNK_HALO), dtype)
+            lo = s * N_SAMPLES - (N_FFT // 2)
+            hi = (s + 1) * N_SAMPLES + (_CHUNK_HALO - N_FFT // 2)
+            for j, x in enumerate(pcm_rows):
+                if s == 0:
+                    # reflect head of the zero-padded row (np.pad 'reflect'):
+                    # head position p = padded_row[200 - p]
+                    pr = x if len(x) > N_FFT // 2 else np.concatenate(
+                        [x, np.zeros(N_FFT // 2 + 1 - len(x), x.dtype)]
+                    )
+                    chunk[j, : N_FFT // 2] = pr[1 : N_FFT // 2 + 1][::-1]
+                    body = x[:hi]
+                    chunk[j, N_FFT // 2 : N_FFT // 2 + len(body)] = body
+                else:
+                    body = x[lo : min(hi, len(x))]
+                    chunk[j, : len(body)] = body
+            self.chunks.append(_jax.device_put(chunk))
+        halo = np.zeros((n_rows, N_FFT // 2), dtype)
+        for j, x in enumerate(pcm_rows):
+            if len(x) > max_len - N_FFT // 2:
+                tail = x[max_len - N_FFT // 2 :]
+                halo[j, : len(tail)] = tail
+        self.chunks.append(_jax.device_put(halo))
+        self.buf = jnp.zeros((n_rows, n_mels, self.total_frames), jnp.float32)
+        self.rowmax = jnp.full((n_rows,), -1e30, jnp.float32)
+        self.done = 0  # mel-writes enqueued for chunks [0, done)
+
+    @property
+    def complete(self) -> bool:
+        return self.done > self.n_real
+
+    def _enqueue(self, s: int) -> None:
+        chunk = self.chunks[s]
+        if s == self.n_real:
+            chunk = _tail_chunk(chunk)
+        self.buf, self.rowmax = _mel_write(
+            self.buf, self.rowmax, chunk, jnp.int32(s * N_FRAMES)
+        )
+        self.chunks[s] = None  # release the device PCM once consumed
+
+    def ensure(self, last_frame: int) -> None:
+        """Enqueue mel-writes covering frames [0, last_frame] (blocking the
+        device stream on their transfers if they haven't arrived — they are
+        needed NOW)."""
+        need = min(last_frame // N_FRAMES, self.n_real)
+        while self.done <= need:
+            self._enqueue(self.done)
+            self.done += 1
+
+    def poll(self) -> None:
+        """Opportunistically enqueue mel-writes for chunks whose transfer has
+        completed — keeps the running max marching toward the file max (so
+        later gathers are exact) without ever stalling the compute stream."""
+        while self.done <= self.n_real:
+            chunk = self.chunks[self.done]
+            try:
+                if not chunk.is_ready():
+                    return
+            except AttributeError:  # CPU arrays / older jax: always ready
+                pass
+            self._enqueue(self.done)
+            self.done += 1
+
+    def finish(self) -> None:
+        while self.done <= self.n_real:
+            self._enqueue(self.done)
+            self.done += 1
+
+
+@_jax.jit
+def _gather_windows_norm(stack, rowmax, rows, seeks, seg_sizes):
+    """ONE device call gathering + NORMALIZING windows from an unnormalized
+    streamed-group buffer:
+    window j = (max(stack[rows[j], :, seeks[j]:+3000], rowmax[rows[j]] - 8)
+    + 4) / 4 with frames >= seg_sizes[j] zeroed. Also returns, per window,
+    the min over its valid frames and the max it was normalized with — the
+    exactness guard transcribe_many re-checks once the true file max is
+    known."""
 
     def one(r, s, z):
         w = _jax.lax.dynamic_slice(
             stack, (r, 0, s), (1, stack.shape[1], N_FRAMES)
         )[0]
+        m = rowmax[r]
+        wn = (jnp.maximum(w, m - 8.0) + 4.0) / 4.0
         mask = jnp.arange(N_FRAMES) < z
-        return jnp.where(mask[None, :], w.astype(jnp.float32), 0.0)
+        win = jnp.where(mask[None, :], wn, 0.0)
+        wmin = jnp.min(jnp.where(mask[None, :], w, jnp.inf))
+        return win, wmin, m
 
     return _jax.vmap(one)(rows, seeks, seg_sizes)
 
@@ -662,35 +792,33 @@ def transcribe_many(
         i for i, w in enumerate(wavs)
         if w.ndim == 1 and len(w) <= MAX_FILE_S * SAMPLE_RATE
     ]
-    # Upload/decode overlap (r4): the PCM is split into GROUPS of
-    # ``batch_size`` files; every group's host->device transfer is
-    # dispatched up-front (transfers stream in the background while the
-    # device computes — measured full overlap through the axon tunnel,
-    # perf/probe_h2d.py), but each group's log-mel program is enqueued
-    # LAZILY, the first round that gathers a window from it. The round
-    # loop takes files in order, so rounds stay group-contiguous AND
-    # full-width: while group 0's windows decode, groups 1+ stream in the
-    # background. With n_files <= batch_size there is a single group and
-    # behavior is identical to the ungrouped path; the win appears when
-    # n_files > batch_size (the serve/eval shape — the 17-39s upload
-    # prefix of r3, perf/r3_sweep4.log, hides behind the early rounds).
+    # Streamed upload/decode overlap (r5, superseding the r4 whole-file
+    # group overlap): the PCM is split into GROUPS of up to ``batch_size``
+    # files AND each group's rows into 30s SLICES. Every slice chunk's
+    # host->device transfer is dispatched up-front (device_put is async —
+    # transfers stream on the DMA engine while the device decodes, measured
+    # full overlap through the axon tunnel, perf/probe_h2d.py), but the mel
+    # program per chunk is enqueued lazily — a round blocks only on the
+    # slices its windows actually read (round r reads slice ~r), so the
+    # 123MB 32x120s upload that was a 5.9s blocking prefix in r4 hides
+    # behind the decode rounds. Normalization moves to gather time (see
+    # _StreamedMelGroup); outputs stay bit-equal to sequential transcribe,
+    # enforced by the stale-max guard + per-file rerun below.
     # NOTE a smaller per_group (batch_size//4) with one-group-per-round
     # admission was measured NET NEGATIVE (174.6 vs 314.7 RTFx,
     # perf/r4_longform1.log): underfilled rounds still pay the padded
-    # batch decode, costing more than the hidden upload saved. Per-file
-    # outputs are unchanged: mels stay whole-file (per-file log-spec max).
-    group_pcm: List = []  # per-group device PCM (or host arrays)
-    group_mels: List = []  # per-group mel, computed lazily (None until used)
+    # batch decode, costing more than the hidden upload saved.
+    groups: List[_StreamedMelGroup] = []
     group_dtype = np.float32
     stack_row = {}  # file index -> (group, row in group)
     mel_frames = {}  # file index -> valid frame count (content + N_FRAMES)
     gather_w = 0  # fixed per-group gather width (one program for all rounds)
+    guards: List[Tuple[int, List[int], object, object]] = []
     if len(batchable) > 1:
         max_len = max(len(wavs[i]) for i in batchable)
         max_len = -(-max_len // N_SAMPLES) * N_SAMPLES  # round up to 30s
         per_group = max(int(GROUP_BUDGET // max_len), 1)
-        if _os.environ.get("OLMOASR_UPLOAD_OVERLAP", "1") == "1":
-            per_group = max(1, min(per_group, batch_size))
+        per_group = max(1, min(per_group, batch_size))
         # never pad a group wider than the actual file count: with few files
         # the budget cap (e.g. 266 rows of 30s audio) would upload hundreds
         # of zero rows and run the STFT over them (advisor r4). One shape is
@@ -718,41 +846,29 @@ def transcribe_many(
         all_pcm = all(p is not None for p in pcms.values())
         group_dtype = np.int16 if all_pcm else np.float32
         gather_w = min(per_group, batch_size)
-        import jax as _jx
 
         for gi, g in enumerate(range(0, len(batchable), per_group)):
             group = batchable[g : g + per_group]
-            # every group padded to per_group rows: one shape -> one mel
-            # program and one gather program for ALL groups
-            stacked = np.zeros((per_group, max_len), group_dtype)
+            rows = []
             for j, i in enumerate(group):
                 src = pcms[i] if all_pcm else wavs[i]
-                stacked[j, : len(src)] = src
+                rows.append(src)
                 stack_row[i] = (gi, j)
                 mel_frames[i] = len(wavs[i]) // HOP_LENGTH + N_FRAMES
-            # dispatch the transfer NOW (streams in the background); the mel
-            # program is enqueued lazily by _group_mel below
-            group_pcm.append(_jx.device_put(stacked))
-            group_mels.append(None)
+            # every group padded to per_group rows: one shape -> one mel
+            # program and one gather program for ALL groups
+            while len(rows) < per_group:
+                rows.append(np.zeros(0, group_dtype))
+            groups.append(
+                _StreamedMelGroup(rows, max_len, model.dims.n_mels)
+            )
 
-    def _group_mel(gi: int):
-        if group_mels[gi] is None:
-            group_mels[gi] = log_mel_spectrogram(
-                group_pcm[gi], model.dims.n_mels, padding=N_SAMPLES
-            )  # stays on device; windows are gathered per round
-            # release the device PCM once its mel exists: int16 PCM bytes/s
-            # ~= f32 mel bytes/s, so keeping both doubles device-resident
-            # audio memory for the rest of the call (advisor r4)
-            group_pcm[gi] = None
-        return group_mels[gi]
-
-    if group_pcm and _perf:
-        # the BLOCKING prefix is group 0 only (later groups upload behind
-        # the decode rounds); a scalar fetch forces a real sync —
-        # block_until_ready can return early through the tunnel
-        m0 = _group_mel(0)
-        m0.block_until_ready()
-        _ = float(jnp.sum(m0[:, 0, :1]).ravel()[0])
+    if groups and _perf:
+        # the BLOCKING prefix is now just group 0's first slice (everything
+        # else uploads behind the decode rounds); a scalar fetch forces a
+        # real sync — block_until_ready can return early through the tunnel
+        groups[0].ensure(0)
+        _ = float(np.asarray(groups[0].rowmax[0]))
         PERF_TIMERS["mel_stack_s"] = _time.perf_counter() - _t_enter
 
     states: List[_FileState] = []
@@ -788,7 +904,7 @@ def transcribe_many(
     # round-based: each round batches the current window of up to batch_size
     # active files; languages may differ per file, so group by language.
     # Stack-backed files advance bookkeeping only and their windows are
-    # gathered in ONE device call (_gather_windows); others slice per file.
+    # gathered in ONE device call (_gather_windows_norm); others slice per file.
     active = list(range(len(states)))
     while active:
         round_ids = active[:batch_size]
@@ -798,7 +914,8 @@ def transcribe_many(
                 spec = states[i].advance_window()
                 if spec is None:
                     continue
-                specs.append((*stack_row[i], *spec))  # (group, row, seek, sz)
+                # (group, row, seek, size, file)
+                specs.append((*stack_row[i], *spec, i))
                 windows.append(None)  # filled from the gathered batch below
             else:
                 w = states[i].current_window()
@@ -811,16 +928,26 @@ def transcribe_many(
             # order, so per-group chunks concatenate back in spec order)
             parts = []
             for gi in sorted({s[0] for s in specs}):
-                gs = [s[1:] for s in specs if s[0] == gi]
+                gs = [s[1:4] for s in specs if s[0] == gi]
+                gids = [s[4] for s in specs if s[0] == gi]
+                grp = groups[gi]
+                # block only on the slices this round's windows actually
+                # read; later chunks keep streaming behind the decode
+                grp.ensure(max(s[1] for s in gs) + N_FRAMES - 1)
                 padded = gs + [gs[-1]] * (gather_w - len(gs))
                 rows, seeks, sizes = (
                     jnp.asarray(c, jnp.int32) for c in zip(*padded)
                 )
-                parts.append(
-                    _gather_windows(_group_mel(gi), rows, seeks, sizes)[
-                        : len(gs)
-                    ]
+                wins, wmin, umax = _gather_windows_norm(
+                    grp.buf, grp.rowmax, rows, seeks, sizes
                 )
+                if not grp.complete:
+                    # normalized with a still-running max: record the guard
+                    # inputs; re-checked against the final max at the end
+                    guards.append(
+                        (gi, gids, wmin[: len(gs)], umax[: len(gs)])
+                    )
+                parts.append(wins[: len(gs)])
             gathered = (
                 parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
             )
@@ -860,8 +987,50 @@ def transcribe_many(
                         states[i]._mel_segment = gathered[ws[k][1]]
                     states[i].consume(r)
         active = [i for i in active if not states[i].done]
+        for grp in groups:
+            # enqueue mel-writes for any chunks that arrived during this
+            # round's decode — marches the running max toward the file max
+            # so later gathers are exact, without stalling the stream
+            grp.poll()
 
-    return [s.finalize() for s in states]
+    finals = [s.finalize() for s in states]
+
+    if guards:
+        # stale-max exactness check: a window normalized before its file's
+        # upload completed is bit-equal to the sequential path unless some
+        # valid frame fell below final_max - 8 while used_max != final_max
+        # (the clamp floor then differed). Re-run those (rare) files through
+        # the plain per-file path — identical semantics, full fidelity.
+        for grp in groups:
+            grp.finish()
+        fmax = {gi: np.asarray(groups[gi].rowmax) for gi, *_ in guards}
+        bad = set()
+        for gi, gids, wmin, umax in guards:
+            wm, um = np.asarray(wmin), np.asarray(umax)
+            for k, i in enumerate(gids):
+                fm = fmax[gi][stack_row[i][1]]
+                if um[k] != fm and wm[k] < fm - 8.0:
+                    bad.add(i)
+        if bad and _perf:
+            PERF_TIMERS["stale_max_reruns"] = len(bad)
+        for i in sorted(bad):
+            finals[i] = transcribe(
+                model, wavs[i], verbose=verbose, temperature=temperature,
+                compression_ratio_threshold=compression_ratio_threshold,
+                logprob_threshold=logprob_threshold,
+                no_speech_threshold=no_speech_threshold,
+                condition_on_previous_text=condition_on_previous_text,
+                initial_prompt=initial_prompt,
+                carry_initial_prompt=carry_initial_prompt,
+                word_timestamps=word_timestamps,
+                prepend_punctuations=prepend_punctuations,
+                append_punctuations=append_punctuations,
+                clip_timestamps=clip_timestamps,
+                hallucination_silence_threshold=hallucination_silence_threshold,
+                **decode_options,
+            )
+
+    return finals
 
 
 def _get_end(segments: List[dict]) -> Optional[float]:
