@@ -110,6 +110,26 @@ def _mask_block(s: jax.Array, causal: bool, bq: int) -> jax.Array:
     return jnp.where(cols > rows, jnp.float32(NEG), s)
 
 
+def _d128() -> bool:
+    # zero-pad d_head 64 -> 128 so every score/value contraction runs at the
+    # MXU's full 128 depth/width. Counter-intuitive but measured: the padded
+    # dots do 2x the MACs (the MXU cannot skip the zero half) yet finish
+    # FASTER than the half-depth ones — rate(K=128) ~ 2.2x rate(K=64) at the
+    # encoder training shape (pad256 2.92ms vs seq256 3.25ms fwd,
+    # perf/r5_pack3.log; the two-head packed layout with in-kernel
+    # block-diagonal K/V measured 5x WORSE, 16.2ms — the concatenates
+    # serialize). Zeros flow correctly through the backward: padded q/k/v
+    # columns produce zero dq/dk/dv columns, sliced off after the kernel.
+    # Values: "1" = pad fwd+bwd kernels, "fwd" = pad the forward only (the
+    # bwd has 3 output contractions whose extra padded traffic measured as
+    # a net loss, perf/r5_d128_ab.log). Read at trace time.
+    return os.environ.get("OLMOASR_ATTN_D128", "0") in ("1", "fwd")
+
+
+def _d128_bwd() -> bool:
+    return os.environ.get("OLMOASR_ATTN_D128", "0") == "1"
+
+
 def _whole_row() -> bool:
     # whole-row grid: one program per (batch, head) row, python loop over
     # q sub-blocks — k/v stream into VMEM ONCE per row instead of once per
@@ -486,7 +506,7 @@ def _pad_t(x: jax.Array, t_pad: int) -> jax.Array:
     return jnp.pad(x, ((0, 0), (0, t_pad - x.shape[1]), (0, 0)))
 
 
-def _prep(q, k, v, n_head, key_bias, valid_len=None):
+def _prep(q, k, v, n_head, key_bias, valid_len=None, d128=None):
     """Split heads, pad to 128-multiples, build the (Bb, Tk_pad) bias.
 
     ``valid_len``: true key count when the caller ships PRE-padded tensors
@@ -513,6 +533,13 @@ def _prep(q, k, v, n_head, key_bias, valid_len=None):
     qh = _pad_t(_split(q, n_head) * jnp.asarray(scale, q.dtype), Tq_pad)
     kh = _pad_t(_split(k, n_head), Tk_pad)
     vh = _pad_t(_split(v, n_head), Tk_pad)
+    if (_d128() if d128 is None else d128) and dh == 64:
+        # full-MXU-depth mode (see _d128): pad the head dim to 128; callers
+        # slice the kernel outputs back with _unpad_d
+        pad_d = ((0, 0), (0, 0), (0, 64))
+        qh = jnp.pad(qh, pad_d)
+        kh = jnp.pad(kh, pad_d)
+        vh = jnp.pad(vh, pad_d)
     pad_bias = jnp.where(jnp.arange(Tk_pad)[None, :] < valid, 0.0, NEG).astype(
         jnp.float32
     )  # (1, Tk_pad)
@@ -547,26 +574,30 @@ def _train_attention(
 def _attn_fwd_res(q, k, v, n_head, causal, interpret, key_bias=None,
                   valid_len=None):
     B, Tq, D = q.shape
+    dh = D // n_head
     qh, kh, vh, bias, (Tq_pad, _, _) = _prep(q, k, v, n_head, key_bias,
                                              valid_len)
     o = _attn_fwd(qh, kh, vh, bias, n_head, causal=causal, interpret=interpret)
-    return _merge(o[:, :Tq], n_head, B), (q, k, v, key_bias)
+    return _merge(o[:, :Tq, :dh], n_head, B), (q, k, v, key_bias)
 
 
 def _attn_bwd_res(n_head, causal, interpret, valid_len, res, g):
     q, k, v, key_bias = res
     B, Tq, D = q.shape
     Tk = k.shape[1]
+    dh = D // n_head
     qh, kh, vh, bias, (Tq_pad, _, scale) = _prep(q, k, v, n_head, key_bias,
-                                                 valid_len)
+                                                 valid_len, d128=_d128_bwd())
     doh = _pad_t(_split(g.astype(q.dtype), n_head), Tq_pad)
+    if doh.shape[-1] != qh.shape[-1]:  # _d128 mode: pad do like q
+        doh = jnp.pad(doh, ((0, 0), (0, 0), (0, qh.shape[-1] - dh)))
     dqh, dkh, dvh = _attn_bwd(
         qh, kh, vh, doh, bias, n_head, causal=causal, interpret=interpret
     )
     s = jnp.asarray(scale, q.dtype)
-    dq = _merge(dqh[:, :Tq], n_head, B) * s  # d(q*scale)/dq
-    dk = _merge(dkh[:, :Tk], n_head, B)
-    dv = _merge(dvh[:, :Tk], n_head, B)
+    dq = _merge(dqh[:, :Tq, :dh], n_head, B) * s  # d(q*scale)/dq
+    dk = _merge(dkh[:, :Tk, :dh], n_head, B)
+    dv = _merge(dvh[:, :Tk, :dh], n_head, B)
     dbias = None if key_bias is None else jnp.zeros_like(key_bias)
     return dq, dk, dv, dbias
 

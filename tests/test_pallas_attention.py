@@ -481,6 +481,48 @@ class TestWholeRowTrainAttention:
         for a, b in zip(outs["0"][1], outs["1"][1]):
             np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-2)
 
+    @pytest.mark.parametrize("mode", ["1", "fwd"])
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_d128_pad_matches_unpadded(self, mode, causal, monkeypatch):
+        """OLMOASR_ATTN_D128 zero-pads d_head 64->128 for full-MXU-depth
+        contractions; the padded columns carry exact zeros so fwd AND grads
+        must be bit-equal to the unpadded kernels ("fwd" pads the forward
+        only — the bwd's padded output traffic measured as a net loss,
+        perf/r5_d128_ab.log vs perf/r5_d128_fwd_ab.log)."""
+        from olmoasr_tpu.ops.train_attention import train_attention
+
+        B, T, D, H = 2, 256, 128, 2  # dh=64: the d128 trigger shape
+        rng = np.random.default_rng(11)
+        q = jnp.asarray(rng.standard_normal((B, T, D)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((B, T, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, T, D)), jnp.bfloat16)
+
+        def loss(q, k, v):
+            return jnp.sum(
+                train_attention(q, k, v, H, causal, True).astype(jnp.float32)
+                ** 2
+            )
+
+        outs = {}
+        for d128 in ("0", mode):
+            monkeypatch.setenv("OLMOASR_ATTN_D128", d128)
+            self._clear()
+            o = train_attention(q, k, v, H, causal, True)
+            g = jax.grad(loss, (0, 1, 2))(q, k, v)
+            outs[d128] = (np.asarray(o, np.float32),
+                          [np.asarray(x, np.float32) for x in g])
+        self._clear()
+        np.testing.assert_array_equal(outs["0"][0], outs[mode][0])
+        for a, b in zip(outs["0"][1], outs[mode][1]):
+            if mode == "1":
+                # padded-bwd grads: the 64 zero products are exact, but the
+                # d=128 contraction re-blocks the nonzero partial sums —
+                # f32 reassociation that can flip the final bf16 cast by
+                # 1 ulp (same class as the row/blocked dk/dv tolerance)
+                np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-2)
+            else:
+                np.testing.assert_array_equal(a, b)
+
     def test_row_sub_block_selection(self):
         from olmoasr_tpu.ops.train_attention import _row_sub_block
 
