@@ -384,7 +384,11 @@ def bench_decode():
 # take down the rest and each axis gets the whole HBM.
 SNAPSHOT_AXES = [
     ("decode_int8", {}),
-    ("decode_bf16", {"OLMOASR_BENCH_KV_QUANT": "0", "OLMOASR_BENCH_BATCH": "64"}),
+    # B=96 is the bf16 sweet spot (r5 sweep 80/96/112 -> 1042/1089/1076
+    # RTFx, perf/r5_bf16_sweep.log): the exact-parity numerics now clear the
+    # >=1000 north-star without KV quantization (B=128 OOMs the bf16 cross
+    # cache, perf/r3_bf16kv_repro.log)
+    ("decode_bf16", {"OLMOASR_BENCH_KV_QUANT": "0", "OLMOASR_BENCH_BATCH": "96"}),
     ("longform_greedy", {"OLMOASR_BENCH_MODE": "longform"}),
     (
         "longform_beam5",
