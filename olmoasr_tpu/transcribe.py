@@ -529,6 +529,29 @@ class _StreamedMelGroup:
     doesn't need yet.
     """
 
+    @staticmethod
+    def _put(chunk: np.ndarray):
+        """Dispatch one chunk, as int16 PCM when the *32768 scaling
+        round-trips exactly (audio decoded from 16-bit sources always does)
+        — HALF the host->device bytes, which is the long-form bottleneck on
+        a remote/tunneled chip (measured ~14-30MB/s; perf/probe_h2d.py).
+        Bit-exact: the /32768 rescale happens on device
+        (log_mel_chunk_unnorm / _tail_chunk). Per-CHUNK, not per-file: the
+        decision costs one pass over the chunk right before its dispatch,
+        so the first slice starts its transfer ~2s sooner than the old
+        whole-call pre-pass on a 1-core host, and a single non-PCM file
+        only forces f32 on its own group's chunks."""
+        if chunk.dtype == np.float32 and chunk.size:
+            s = chunk * 32768.0
+            r = np.rint(s)
+            if (
+                r.min() >= -32768.0
+                and r.max() <= 32767.0
+                and np.array_equal(r, s)
+            ):
+                chunk = r.astype(np.int16)
+        return _jax.device_put(chunk)
+
     def __init__(self, pcm_rows, max_len, n_mels):
         self.n_real = max_len // N_SAMPLES
         self.total_frames = (self.n_real + 2) * N_FRAMES
@@ -552,13 +575,13 @@ class _StreamedMelGroup:
                 else:
                     body = x[lo : min(hi, len(x))]
                     chunk[j, : len(body)] = body
-            self.chunks.append(_jax.device_put(chunk))
+            self.chunks.append(self._put(chunk))
         halo = np.zeros((n_rows, N_FFT // 2), dtype)
         for j, x in enumerate(pcm_rows):
             if len(x) > max_len - N_FFT // 2:
                 tail = x[max_len - N_FFT // 2 :]
                 halo[j, : len(tail)] = tail
-        self.chunks.append(_jax.device_put(halo))
+        self.chunks.append(self._put(halo))
         self.buf = jnp.zeros((n_rows, n_mels, self.total_frames), jnp.float32)
         self.rowmax = jnp.full((n_rows,), -1e30, jnp.float32)
         self.done = 0  # mel-writes enqueued for chunks [0, done)
@@ -809,7 +832,6 @@ def transcribe_many(
     # perf/r4_longform1.log): underfilled rounds still pay the padded
     # batch decode, costing more than the hidden upload saved.
     groups: List[_StreamedMelGroup] = []
-    group_dtype = np.float32
     stack_row = {}  # file index -> (group, row in group)
     mel_frames = {}  # file index -> valid frame count (content + N_FRAMES)
     gather_w = 0  # fixed per-group gather width (one program for all rounds)
@@ -825,40 +847,24 @@ def transcribe_many(
         # preserved — clamping by a call-wide constant keeps every group of
         # this call at the same width.
         per_group = min(per_group, len(batchable))
-        # PCM-16 transport: real audio is 16-bit PCM (load_audio returns
-        # int16/32768), so when the scaled values round-trip exactly we
-        # upload int16 — HALF the host->device bytes, which is the long-form
-        # bottleneck on a remote/tunneled chip (measured ~14MB/s; 64x2min
-        # f32 = 620MB). Bit-exact: the /32768 rescale happens on device.
-        # One pass per file, written straight into the int16 buffer (full-
-        # array round/compare passes cost ~2s on a 1-core host).
-        def to_pcm16(w: np.ndarray) -> Optional[np.ndarray]:
-            s = w * 32768.0
-            r = np.rint(s)
-            if (
-                r.size == 0
-                or (r.min() >= -32768 and r.max() <= 32767)
-            ) and np.array_equal(r, s):
-                return r.astype(np.int16)
-            return None
-
-        pcms = {i: to_pcm16(wavs[i]) for i in batchable}
-        all_pcm = all(p is not None for p in pcms.values())
-        group_dtype = np.int16 if all_pcm else np.float32
+        # PCM-16 transport happens per-CHUNK inside _StreamedMelGroup._put
+        # (int16 when exactly representable, halving the upload bytes); no
+        # whole-call pre-pass — the first slice's transfer starts as soon as
+        # its own chunk is built, and the remaining chunks' host work
+        # overlaps it.
         gather_w = min(per_group, batch_size)
 
         for gi, g in enumerate(range(0, len(batchable), per_group)):
             group = batchable[g : g + per_group]
             rows = []
             for j, i in enumerate(group):
-                src = pcms[i] if all_pcm else wavs[i]
-                rows.append(src)
+                rows.append(wavs[i])
                 stack_row[i] = (gi, j)
                 mel_frames[i] = len(wavs[i]) // HOP_LENGTH + N_FRAMES
             # every group padded to per_group rows: one shape -> one mel
             # program and one gather program for ALL groups
             while len(rows) < per_group:
-                rows.append(np.zeros(0, group_dtype))
+                rows.append(np.zeros(0, np.float32))
             groups.append(
                 _StreamedMelGroup(rows, max_len, model.dims.n_mels)
             )

@@ -73,3 +73,46 @@ rep("4_puts_seq_dispatch", lambda: k_puts(4))
 rep("16_puts_seq_dispatch", lambda: k_puts(16))
 rep("2_threads", lambda: threaded(2))
 rep("4_threads", lambda: threaded(4))
+
+
+# --- upload/compute overlap: can device_put hide behind a running chain? ---
+# The streamed long-form design assumes decode rounds hide slice uploads.
+# Measure: (a) compute chain alone, (b) upload alone, (c) chain dispatched
+# FIRST then uploads, both synced — if (c) ~ max(a, b) the transport
+# overlaps compute; if (c) ~ a + b it serializes and streaming can only
+# pipeline against OTHER uploads, not against decode.
+W = jnp.asarray(np.random.default_rng(1).standard_normal((4096, 4096)),
+                jnp.bfloat16)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1,))
+def chain(x, n):
+    def body(c, _):
+        return jnp.tanh(c @ W), None
+    y, _ = jax.lax.scan(body, x, None, length=n)
+    return jnp.sum(y.astype(jnp.float32))
+
+
+N_CHAIN = int(os.environ.get("PROBE_CHAIN", "400"))
+x0 = jnp.asarray(np.random.default_rng(2).standard_normal((4096, 4096)),
+                 jnp.bfloat16)
+_ = float(chain(x0, N_CHAIN))  # compile + warm the big chain
+
+
+def compute_only():
+    _ = float(chain(x0, N_CHAIN))
+
+
+def overlap():
+    r = chain(x0, N_CHAIN)  # dispatched, running on device
+    a = jax.device_put(host)  # 123MB while the chain runs
+    sync(a)
+    _ = float(r)
+
+
+rep("compute_chain_only", compute_only)
+rep("upload_only", one_put)
+rep("chain_then_upload", overlap)
