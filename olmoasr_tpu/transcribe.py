@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import sys
+import threading
 import warnings
 from typing import TYPE_CHECKING, List, Optional, Tuple, Union
 
@@ -552,36 +553,67 @@ class _StreamedMelGroup:
                 chunk = r.astype(np.int16)
         return _jax.device_put(chunk)
 
+    def _build_chunk(self, pcm_rows, s: int) -> np.ndarray:
+        """Assemble the host-side sample buffer for chunk ``s`` (slice s of
+        every row, with the reflect head on slice 0) or, for ``s ==
+        n_real``, the 13KB tail halo that _tail_chunk expands on device."""
+        n_rows = len(pcm_rows)
+        dtype = pcm_rows[0].dtype
+        max_len = self.n_real * N_SAMPLES
+        if s == self.n_real:
+            halo = np.zeros((n_rows, N_FFT // 2), dtype)
+            for j, x in enumerate(pcm_rows):
+                if len(x) > max_len - N_FFT // 2:
+                    tail = x[max_len - N_FFT // 2 :]
+                    halo[j, : len(tail)] = tail
+            return halo
+        chunk = np.zeros((n_rows, N_SAMPLES + _CHUNK_HALO), dtype)
+        lo = s * N_SAMPLES - (N_FFT // 2)
+        hi = (s + 1) * N_SAMPLES + (_CHUNK_HALO - N_FFT // 2)
+        for j, x in enumerate(pcm_rows):
+            if s == 0:
+                # reflect head of the zero-padded row (np.pad 'reflect'):
+                # head position p = padded_row[200 - p]
+                pr = x if len(x) > N_FFT // 2 else np.concatenate(
+                    [x, np.zeros(N_FFT // 2 + 1 - len(x), x.dtype)]
+                )
+                chunk[j, : N_FFT // 2] = pr[1 : N_FFT // 2 + 1][::-1]
+                body = x[:hi]
+                chunk[j, N_FFT // 2 : N_FFT // 2 + len(body)] = body
+            else:
+                body = x[lo : min(hi, len(x))]
+                chunk[j, : len(body)] = body
+        return chunk
+
     def __init__(self, pcm_rows, max_len, n_mels):
         self.n_real = max_len // N_SAMPLES
         self.total_frames = (self.n_real + 2) * N_FRAMES
         n_rows = len(pcm_rows)
-        dtype = pcm_rows[0].dtype
-        self.chunks = []
-        for s in range(self.n_real):
-            chunk = np.zeros((n_rows, N_SAMPLES + _CHUNK_HALO), dtype)
-            lo = s * N_SAMPLES - (N_FFT // 2)
-            hi = (s + 1) * N_SAMPLES + (_CHUNK_HALO - N_FFT // 2)
-            for j, x in enumerate(pcm_rows):
-                if s == 0:
-                    # reflect head of the zero-padded row (np.pad 'reflect'):
-                    # head position p = padded_row[200 - p]
-                    pr = x if len(x) > N_FFT // 2 else np.concatenate(
-                        [x, np.zeros(N_FFT // 2 + 1 - len(x), x.dtype)]
-                    )
-                    chunk[j, : N_FFT // 2] = pr[1 : N_FFT // 2 + 1][::-1]
-                    body = x[:hi]
-                    chunk[j, N_FFT // 2 : N_FFT // 2 + len(body)] = body
-                else:
-                    body = x[lo : min(hi, len(x))]
-                    chunk[j, : len(body)] = body
-            self.chunks.append(self._put(chunk))
-        halo = np.zeros((n_rows, N_FFT // 2), dtype)
-        for j, x in enumerate(pcm_rows):
-            if len(x) > max_len - N_FFT // 2:
-                tail = x[max_len - N_FFT // 2 :]
-                halo[j, : len(tail)] = tail
-        self.chunks.append(self._put(halo))
+        self.chunks = [None] * (self.n_real + 1)
+        self._dispatched = [threading.Event() for _ in self.chunks]
+        self._builder_err = None
+        # Chunk 0 builds + dispatches synchronously: the first decode round
+        # blocks on it anyway, and its transfer must head the single-stream
+        # tunnel queue. Everything else builds on a BACKGROUND thread — the
+        # per-chunk host work (slice copies + the PCM16 round-trip check,
+        # ~1.5s for 32x120s on this 1-core host) runs while the main thread
+        # blocks inside decode dispatches (GIL released), instead of
+        # lengthening the blocking prefix as a build-everything __init__.
+        self.chunks[0] = self._put(self._build_chunk(pcm_rows, 0))
+        self._dispatched[0].set()
+
+        def _build_rest():
+            try:
+                for s in range(1, self.n_real + 1):
+                    self.chunks[s] = self._put(self._build_chunk(pcm_rows, s))
+                    self._dispatched[s].set()
+            except BaseException as e:  # surfaced by _wait_dispatched
+                self._builder_err = e
+                for ev in self._dispatched:
+                    ev.set()
+
+        if self.n_real >= 1:
+            threading.Thread(target=_build_rest, daemon=True).start()
         self.buf = jnp.zeros((n_rows, n_mels, self.total_frames), jnp.float32)
         self.rowmax = jnp.full((n_rows,), -1e30, jnp.float32)
         self.done = 0  # mel-writes enqueued for chunks [0, done)
@@ -589,6 +621,11 @@ class _StreamedMelGroup:
     @property
     def complete(self) -> bool:
         return self.done > self.n_real
+
+    def _wait_dispatched(self, s: int) -> None:
+        self._dispatched[s].wait()
+        if self._builder_err is not None:
+            raise self._builder_err
 
     def _enqueue(self, s: int) -> None:
         chunk = self.chunks[s]
@@ -605,6 +642,7 @@ class _StreamedMelGroup:
         needed NOW)."""
         need = min(last_frame // N_FRAMES, self.n_real)
         while self.done <= need:
+            self._wait_dispatched(self.done)
             self._enqueue(self.done)
             self.done += 1
 
@@ -613,6 +651,10 @@ class _StreamedMelGroup:
         completed — keeps the running max marching toward the file max (so
         later gathers are exact) without ever stalling the compute stream."""
         while self.done <= self.n_real:
+            if not self._dispatched[self.done].is_set():
+                return
+            if self._builder_err is not None:
+                raise self._builder_err
             chunk = self.chunks[self.done]
             try:
                 if not chunk.is_ready():
@@ -624,6 +666,7 @@ class _StreamedMelGroup:
 
     def finish(self) -> None:
         while self.done <= self.n_real:
+            self._wait_dispatched(self.done)
             self._enqueue(self.done)
             self.done += 1
 
