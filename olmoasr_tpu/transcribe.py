@@ -532,40 +532,58 @@ class _StreamedMelGroup:
 
     @staticmethod
     def _put(chunk: np.ndarray):
-        """Dispatch one chunk, as int16 PCM when the *32768 scaling
-        round-trips exactly (audio decoded from 16-bit sources always does)
-        — HALF the host->device bytes, which is the long-form bottleneck on
-        a remote/tunneled chip (measured ~14-30MB/s; perf/probe_h2d.py).
-        Bit-exact: the /32768 rescale happens on device
-        (log_mel_chunk_unnorm / _tail_chunk). Per-CHUNK, not per-file: the
-        decision costs one pass over the chunk right before its dispatch,
-        so the first slice starts its transfer ~2s sooner than the old
-        whole-call pre-pass on a 1-core host, and a single non-PCM file
-        only forces f32 on its own group's chunks."""
-        if chunk.dtype == np.float32 and chunk.size:
-            s = chunk * 32768.0
+        """Dispatch one built chunk (int16 PCM when _build_chunk could
+        convert it exactly — HALF the host->device bytes, the long-form
+        bottleneck on a remote/tunneled chip, ~40MB/s single-stream;
+        perf/probe_h2d.py). Bit-exact: the /32768 rescale happens on device
+        (log_mel_chunk_unnorm / _tail_chunk)."""
+        return _jax.device_put(chunk)
+
+    @staticmethod
+    def _cvt_i16(dst: np.ndarray, src: np.ndarray) -> bool:
+        """Exact f32->int16 PCM conversion, blockwise: writes
+        ``rint(src*32768)`` into ``dst`` and returns False iff any value is
+        out of int16 range or not exactly representable (then the chunk
+        falls back to f32 transport). 4MB temporaries instead of
+        whole-chunk f32 copies: the old 3x-61MB-per-chunk temporaries cost
+        1.8-4.3s/chunk in mmap page-fault churn on a 1-core host
+        (perf/probe_prefix.py) and sat on the blocking prefix."""
+        B = 1 << 20
+        for o in range(0, src.size, B):
+            s = src[o : o + B] * np.float32(32768.0)
             r = np.rint(s)
-            if (
+            if not (
                 r.min() >= -32768.0
                 and r.max() <= 32767.0
                 and np.array_equal(r, s)
             ):
-                chunk = r.astype(np.int16)
-        return _jax.device_put(chunk)
+                return False
+            dst[o : o + B] = r
+        return True
 
     def _build_chunk(self, pcm_rows, s: int) -> np.ndarray:
         """Assemble the host-side sample buffer for chunk ``s`` (slice s of
         every row, with the reflect head on slice 0) or, for ``s ==
-        n_real``, the 13KB tail halo that _tail_chunk expands on device."""
+        n_real``, the 13KB tail halo that _tail_chunk expands on device.
+        f32 rows build DIRECTLY into an int16 buffer (exactness checked
+        blockwise by _cvt_i16); only non-PCM-representable audio rebuilds
+        in f32."""
         n_rows = len(pcm_rows)
         dtype = pcm_rows[0].dtype
+        try_i16 = dtype == np.float32
+        if try_i16:
+            dtype = np.int16
         max_len = self.n_real * N_SAMPLES
         if s == self.n_real:
             halo = np.zeros((n_rows, N_FFT // 2), dtype)
             for j, x in enumerate(pcm_rows):
                 if len(x) > max_len - N_FFT // 2:
                     tail = x[max_len - N_FFT // 2 :]
-                    halo[j, : len(tail)] = tail
+                    if try_i16:
+                        if not self._cvt_i16(halo[j, : len(tail)], tail):
+                            return self._build_f32(pcm_rows, s)
+                    else:
+                        halo[j, : len(tail)] = tail
             return halo
         chunk = np.zeros((n_rows, N_SAMPLES + _CHUNK_HALO), dtype)
         lo = s * N_SAMPLES - (N_FFT // 2)
@@ -574,6 +592,49 @@ class _StreamedMelGroup:
             if s == 0:
                 # reflect head of the zero-padded row (np.pad 'reflect'):
                 # head position p = padded_row[200 - p]
+                pr = x if len(x) > N_FFT // 2 else np.concatenate(
+                    [x, np.zeros(N_FFT // 2 + 1 - len(x), x.dtype)]
+                )
+                head = pr[1 : N_FFT // 2 + 1][::-1]
+                body = x[:hi]
+                if try_i16:
+                    if not (
+                        self._cvt_i16(chunk[j, : N_FFT // 2], head)
+                        and self._cvt_i16(
+                            chunk[j, N_FFT // 2 : N_FFT // 2 + len(body)],
+                            body,
+                        )
+                    ):
+                        return self._build_f32(pcm_rows, s)
+                else:
+                    chunk[j, : N_FFT // 2] = head
+                    chunk[j, N_FFT // 2 : N_FFT // 2 + len(body)] = body
+            else:
+                body = x[lo : min(hi, len(x))]
+                if try_i16:
+                    if not self._cvt_i16(chunk[j, : len(body)], body):
+                        return self._build_f32(pcm_rows, s)
+                else:
+                    chunk[j, : len(body)] = body
+        return chunk
+
+    def _build_f32(self, pcm_rows, s: int) -> np.ndarray:
+        """Fallback: the original f32 assembly, for rows whose samples are
+        not exactly int16-representable (synthetic f32 audio)."""
+        n_rows = len(pcm_rows)
+        max_len = self.n_real * N_SAMPLES
+        if s == self.n_real:
+            halo = np.zeros((n_rows, N_FFT // 2), np.float32)
+            for j, x in enumerate(pcm_rows):
+                if len(x) > max_len - N_FFT // 2:
+                    tail = x[max_len - N_FFT // 2 :]
+                    halo[j, : len(tail)] = tail
+            return halo
+        chunk = np.zeros((n_rows, N_SAMPLES + _CHUNK_HALO), np.float32)
+        lo = s * N_SAMPLES - (N_FFT // 2)
+        hi = (s + 1) * N_SAMPLES + (_CHUNK_HALO - N_FFT // 2)
+        for j, x in enumerate(pcm_rows):
+            if s == 0:
                 pr = x if len(x) > N_FFT // 2 else np.concatenate(
                     [x, np.zeros(N_FFT // 2 + 1 - len(x), x.dtype)]
                 )

@@ -150,6 +150,45 @@ class TestStreamedTranscribeMany:
                 g["tokens"] for g in s["segments"]
             ], i
 
+    def test_chunk_build_int16_direct_vs_f32_fallback(self):
+        """_build_chunk builds int16 directly for PCM-representable rows
+        (blockwise _cvt_i16) and falls back to f32 otherwise; the int16
+        chunk rescaled must equal the f32 assembly of the same rows."""
+        from olmoasr_tpu.transcribe import _StreamedMelGroup
+
+        rows = [_noise(61, seed=4), _noise(45, seed=5), np.zeros(0, np.float32)]
+        max_len = 3 * N_SAMPLES
+        grp = _StreamedMelGroup.__new__(_StreamedMelGroup)
+        grp.n_real = max_len // N_SAMPLES
+        for s in range(grp.n_real + 1):
+            c = grp._build_chunk(rows, s)
+            assert c.dtype == np.int16, s
+            f = grp._build_f32(rows, s)
+            np.testing.assert_array_equal(
+                c.astype(np.float32) / 32768.0, f, err_msg=f"chunk {s}"
+            )
+        # one non-representable row forces the f32 fallback for the chunk
+        bad = rows[0].copy()
+        bad[7] = 1.0 / 3.0
+        c = grp._build_chunk([bad, rows[1]], 0)
+        assert c.dtype == np.float32
+        np.testing.assert_array_equal(c, grp._build_f32([bad, rows[1]], 0))
+
+    def test_non_pcm_audio_matches_sequential(self, model):
+        """End-to-end: raw f32 audio that is NOT int16-representable takes
+        the f32 transport and still matches the per-file path exactly."""
+        from olmoasr_tpu.transcribe import transcribe, transcribe_many
+
+        rng = np.random.default_rng(11)
+        wavs = [
+            (rng.standard_normal(16000 * s) * 0.05).astype(np.float32)
+            for s in (45, 61)
+        ]
+        outs = transcribe_many(model, wavs, batch_size=2, **self.KW)
+        for i, o in enumerate(outs):
+            s = transcribe(model, wavs[i], **self.KW)
+            assert o["text"] == s["text"], i
+
     def test_no_rerun_when_upload_completes(self, model, monkeypatch):
         """Normal case: poll() finishes the group during round 0, later
         gathers use the final max, and no rerun happens."""
