@@ -219,17 +219,26 @@ def bench_longform():
     # split the host->device PCM upload + mel prefix out of the wall time:
     # it dominates through the tunneled dev chip (~10-30MB/s) but is
     # negligible on PCIe-local hosts, so decode_bound_rtfx is the deployment
-    # number and value (wall) the worst-case one
+    # number and value (wall) the worst-case one.
+    # MEDIAN of several timed passes: a single pass moves +-20% with tunnel
+    # weather (perf/r5_longform.log beam5 210-254 across identical runs); the
+    # median is the same noise-reduction the short-form axis gets from
+    # averaging 5 iters, without averaging in a cold outlier
     os.environ["OLMOASR_PERF_TIMERS"] = "1"
     import olmoasr_tpu.transcribe as _tr
 
-    _tr.PERF_TIMERS.clear()
-    t0 = time.perf_counter()
-    outs = transcribe_many(model, wavs, batch_size=batch, **kwargs)
-    wall = time.perf_counter() - t0
-    assert len(outs) == n_files
+    lf_iters = int(os.environ.get("OLMOASR_BENCH_LF_ITERS", "3"))
+    passes = []  # (wall, upload_s) per timed pass
+    for _ in range(lf_iters):
+        _tr.PERF_TIMERS.clear()
+        t0 = time.perf_counter()
+        outs = transcribe_many(model, wavs, batch_size=batch, **kwargs)
+        wall = time.perf_counter() - t0
+        assert len(outs) == n_files
+        passes.append((wall, _tr.PERF_TIMERS.get("mel_stack_s")))
+    passes.sort(key=lambda p: p[0])
+    wall, upload_s = passes[len(passes) // 2]
     rtfx = n_files * file_seconds / wall
-    upload_s = _tr.PERF_TIMERS.get("mel_stack_s")
     extra = {}
     if upload_s is not None and wall > upload_s > 0:
         extra = {
@@ -238,6 +247,10 @@ def bench_longform():
                 n_files * file_seconds / (wall - upload_s), 1
             ),
         }
+    if lf_iters > 1:
+        extra["spread_rtfx"] = [
+            round(n_files * file_seconds / w, 1) for w, _ in passes
+        ]
     return _emit(
         {
             "metric": f"long-form RTFx transcribe_many ({variant}, "
