@@ -190,6 +190,7 @@ class AudioTextDataset:
         self.n_text_ctx = n_text_ctx
         self.tokenizer = tokenizer or get_tokenizer(False)
         self.seed = seed
+        self.epoch = 0  # advanced by BatchLoader.set_epoch
         self.only_no_ts_mode = only_no_ts_mode
         # device_mel: emit raw 30s PCM (int16 when the source is int16 —
         # half the H2D bytes of an f32 mel) under the "mel" key and let the
@@ -239,7 +240,14 @@ class AudioTextDataset:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         s = self.samples[index]
-        rng = np.random.default_rng((self.seed, index))
+        # (seed, epoch, index): the timestamp-mode coin must be a fresh flip
+        # per VISIT (the reference draws random.random() inside __getitem__
+        # each epoch, train_timestamps.py:427-463) — seeding on (seed, index)
+        # alone froze each sample into one mode for the whole run, so
+        # multi-epoch training never saw the other branch. Epoch-dependent
+        # seeding keeps determinism for resume while restoring the 50/50
+        # per-visit distribution.
+        rng = np.random.default_rng((self.seed, self.epoch, index))
 
         audio_arr = (
             self._load_audio_raw(s.audio) if self.device_mel
@@ -412,6 +420,7 @@ class BatchLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        self.dataset.epoch = epoch  # per-visit rng (ts-mode coin) advances too
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)

@@ -45,7 +45,12 @@ def make_data():
             for j in range(3)
         ) + 0.01 * rng.standard_normal(len(t))
         path = f"{WORK}/audio/utt{i}.npy"
-        np.save(path, wav.astype(np.float32))
+        # int16 npy — the reference's segment-audio convention (utils.py
+        # trim_audio writes s16le; the train loader divides npy by 32768,
+        # dataset.py:211). A float32 npy here trains on audio scaled by
+        # 1/32768, whose quiet mel bins clamp at the 1e-10 power floor —
+        # a DIFFERENT mel than the transcribe path computes at decode time.
+        np.save(path, (wav * 32768).clip(-32768, 32767).astype(np.int16))
         vtt = f"WEBVTT\n\n00:00.000 --> 00:07.500\n{text}\n"
         rows.append(
             {"audio_file": path, "transcript": vtt, "ext": "vtt",
@@ -115,10 +120,17 @@ def main():
 
     n_hit = 0
     for i, text in enumerate(TEXTS):
-        wav = np.load(f"{WORK}/audio/utt{i}.npy")
+        wav = np.load(f"{WORK}/audio/utt{i}.npy").astype(np.float32) / 32768.0
+        # suppress_blank=False: the egress-blocked BPE ranks mean the
+        # 256-byte fallback vocab is live, so the FIRST trained text token
+        # is the literal " " byte (dataset.py encodes " "+text, whisper
+        # convention) — exactly the token SuppressBlank forbids at sample
+        # start. With real ranks " alpha" is one non-blank token and the
+        # default filter config applies; the filter itself is pinned by
+        # the logit-filter differential tests.
         out = model.transcribe(
             wav, temperature=0.0, without_timestamps=True,
-            beam_size=None, best_of=None,
+            beam_size=None, best_of=None, suppress_blank=False,
             compression_ratio_threshold=None, logprob_threshold=None,
             no_speech_threshold=None,
         )

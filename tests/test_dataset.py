@@ -203,3 +203,45 @@ def test_yodas_dataset():
     assert item["mel"].shape == (80, 3000)
     n_valid = int((item["text_input"] != PADDING_TOKEN).sum())
     assert n_valid > 4
+
+
+def test_timestamp_mode_coin_flips_across_epochs():
+    """The ts/no-ts coin is per VISIT (reference: random.random() inside
+    __getitem__, train_timestamps.py:427-463) — a (seed, index)-only rng
+    froze each sample into one mode for the whole run (r5 convergence-proof
+    find). Over epochs a sample must train in BOTH modes, deterministically
+    per (seed, epoch, index) so resume replays identically."""
+    wav = (np.sin(np.arange(16000 * 3) / 16000 * 2 * np.pi * 220) * 10000).astype(
+        np.int16
+    )
+    ds = AudioTextDataset(
+        [Sample(audio=wav, transcript=VTT, transcript_ext="vtt", norm_end=5000)],
+        n_text_ctx=448,
+    )
+    modes = []
+    for epoch in range(16):
+        ds.set_epoch(epoch) if hasattr(ds, "set_epoch") else setattr(
+            ds, "epoch", epoch
+        )
+        ds.epoch = epoch
+        modes.append(bool(ds[0]["timestamp_mode"]))
+    assert any(modes) and not all(modes), f"mode never flips across epochs: {modes}"
+    # determinism for resume: same (seed, epoch, index) -> same draw
+    ds.epoch = 3
+    a = ds[0]["timestamp_mode"]
+    b = ds[0]["timestamp_mode"]
+    assert a == b
+    assert modes[3] == bool(a)
+
+
+def test_batch_loader_set_epoch_propagates_to_dataset():
+    wav = (np.sin(np.arange(16000 * 3) / 16000 * 2 * np.pi * 220) * 10000).astype(
+        np.int16
+    )
+    ds = AudioTextDataset(
+        [Sample(audio=wav, transcript=VTT, transcript_ext="vtt", norm_end=5000)] * 4,
+        n_text_ctx=448,
+    )
+    loader = BatchLoader(ds, micro_batch_size=2, accum_steps=1, num_workers=0)
+    loader.set_epoch(7)
+    assert ds.epoch == 7
